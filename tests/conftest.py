@@ -1,0 +1,17 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The reference's pmap paths were only ever exercised on real TPUs (SURVEY.md
+§4). Here multi-device sharding is testable single-process via the standard
+JAX trick: force 8 host-platform devices before JAX initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
