@@ -35,6 +35,8 @@ class MDConfig:
     force_impl: str = "auto"  # dense_xla | dense_pallas | neighbor | auto
     dtype: str = "float32"
     rdf_dr: float = 0.05  # molecular_dynamics...:157
+    init: str = "uniform"  # uniform (reference, molecular_dynamics...:134) | lattice
+    remove_com_drift: bool = False  # reference never removes COM drift
 
     @property
     def box_size(self) -> float:

@@ -1,0 +1,201 @@
+"""Workload: Lennard-Jones fluid MD (NVE, velocity-Verlet, PBC).
+
+Reference: molecular_dynamics_jax_single-host_workload.py (216 LoC) — 2D LJ,
+full O(N^2) pair matrix, no cutoff/neighbor lists, fori_loop phases, on-device
+RDF. This module keeps the same physics and defaults while dispatching the
+force evaluation across three implementations behind one interface:
+
+- ``dense_xla``   reference-fidelity O(N^2) (oracle; molecular_dynamics...:50-64)
+- ``dense_pallas``blockwise O(N^2) Pallas kernel, never materializes (N, N)
+- ``neighbor``    O(N) cell-list neighbor path for large N
+
+This is the north-star metric path (BASELINE.md: particle-steps/sec).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax_tpus_benchmark_physics_simulation_tpu.core.config import MDConfig
+from jax_tpus_benchmark_physics_simulation_tpu.core.runner import run_steps, run_trajectory
+from jax_tpus_benchmark_physics_simulation_tpu.core.state import ParticleState
+from jax_tpus_benchmark_physics_simulation_tpu.ops.forces import LennardJones, wrap
+from jax_tpus_benchmark_physics_simulation_tpu.ops.integrators import velocity_verlet
+from jax_tpus_benchmark_physics_simulation_tpu.ops.observables import (
+    kinetic_energy,
+    radial_distribution,
+    temperature,
+)
+
+
+def init_state(cfg: MDConfig, key: Optional[jax.Array] = None) -> ParticleState:
+    """Initialization.
+
+    ``uniform``: the reference's R ~ U(0, box), V ~ N(0,1) sqrt(kT) with the
+    same key-split structure (molecular_dynamics...:133-136). Note this allows
+    particle overlaps (huge initial LJ forces) — kept for parity.
+    ``lattice``: square/cubic lattice placement (no overlaps) — the sane
+    start the reference lacks (SURVEY.md §2c).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    key, r_key, v_key = jax.random.split(key, 3)
+    if cfg.init == "uniform":
+        r = jax.random.uniform(r_key, (cfg.n, cfg.dim), dtype=dtype) * cfg.box_size
+    elif cfg.init == "lattice":
+        per_side = int(np.ceil(cfg.n ** (1.0 / cfg.dim)))
+        spacing = cfg.box_size / per_side
+        grid = jnp.arange(per_side, dtype=dtype) * spacing + 0.5 * spacing
+        mesh = jnp.stack(jnp.meshgrid(*([grid] * cfg.dim), indexing="ij"), axis=-1)
+        r = mesh.reshape(-1, cfg.dim)[: cfg.n]
+    else:
+        raise ValueError(f"unknown init: {cfg.init}")
+    v = jax.random.normal(v_key, (cfg.n, cfg.dim), dtype=dtype) * jnp.sqrt(cfg.kt)
+    if cfg.remove_com_drift:
+        v = v - jnp.mean(v, axis=0, keepdims=True)
+    return ParticleState.create(r, v)
+
+
+def make_potential(cfg: MDConfig) -> LennardJones:
+    return LennardJones(
+        sigma=cfg.sigma, epsilon=cfg.epsilon, box=cfg.box_size, cutoff=cfg.cutoff
+    )
+
+
+def make_force_fn(cfg: MDConfig):
+    """Dispatch the force implementation. All three compute the same physics
+    (cross-checked in tests/test_pallas_kernels.py)."""
+    lj = make_potential(cfg)
+    impl = cfg.force_impl
+    if impl == "auto":
+        if cfg.cutoff is not None and cfg.n >= 8192:
+            impl = "neighbor"
+        elif cfg.n >= 1024 and jax.default_backend() == "tpu":
+            impl = "dense_pallas"
+        else:
+            impl = "dense_xla"
+
+    if impl == "dense_xla":
+        return lj.force
+    if impl == "dense_pallas":
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.pairwise_pallas import (
+            make_lj_force_pallas,
+        )
+
+        return make_lj_force_pallas(
+            n=cfg.n,
+            sigma=cfg.sigma,
+            epsilon=cfg.epsilon,
+            box=cfg.box_size,
+            cutoff=cfg.cutoff,
+        )
+    if impl == "neighbor":
+        raise NotImplementedError("neighbor-list path lands with ops.kernels.neighbor_list")
+    raise ValueError(f"unknown force_impl: {cfg.force_impl}")
+
+
+def build_step(cfg: MDConfig):
+    force_fn = make_force_fn(cfg)
+    box = cfg.box_size
+    return velocity_verlet(force_fn, cfg.dt, wrap_fn=lambda r: wrap(r, box))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def equilibrate(cfg: MDConfig, state: ParticleState) -> ParticleState:
+    """Device-fused equilibration (reference: molecular_dynamics...:77-83)."""
+    init_fn, step_fn = build_step(cfg)
+    return run_steps(step_fn, init_fn(state), cfg.eq_steps)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def production(cfg: MDConfig, state: ParticleState):
+    """Device-fused production with trajectory sampling
+    (reference: molecular_dynamics...:85-106). Additionally samples kinetic /
+    potential energy for the drift regression the reference never had.
+
+    Returns ``(final_state, (r_history, ke_history, pe_history))``.
+    """
+    init_fn, step_fn = build_step(cfg)
+    lj = make_potential(cfg)
+
+    def observe(s):
+        return s.position, kinetic_energy(s), lj.energy(s.position)
+
+    final, (r_hist, ke_hist, pe_hist) = run_trajectory(
+        step_fn, init_fn(state), cfg.prod_steps, cfg.sample_every, observe_fn=observe
+    )
+    return final, (r_hist, ke_hist, pe_hist)
+
+
+def rdf(cfg: MDConfig, r_history: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """g(r) with the reference's binning defaults (molecular_dynamics...:156-162)."""
+    r_max = cfg.box_size / 2.0
+    nbins = int(r_max / cfg.rdf_dr)
+    return radial_distribution(r_history, cfg.box_size, nbins, r_max, dim=cfg.dim)
+
+
+@dataclass
+class MDResult:
+    state: ParticleState
+    r_history: jax.Array
+    ke_history: jax.Array
+    pe_history: jax.Array
+    rdf_r: jax.Array
+    rdf_g: jax.Array
+    time_eq_s: float
+    time_prod_s: float
+    time_rdf_s: float
+    particle_steps_per_sec: float = 0.0
+
+    @property
+    def energy_drift(self) -> float:
+        """Max relative drift of total energy over production samples."""
+        e = self.ke_history + self.pe_history
+        e0 = e[0]
+        return float(jnp.max(jnp.abs(e - e0) / jnp.abs(e0)))
+
+
+def run(cfg: Optional[MDConfig] = None, key: Optional[jax.Array] = None) -> MDResult:
+    """Full timed pipeline: equilibrate -> production -> g(r), matching the
+    reference's three-phase timing (molecular_dynamics...:138-165)."""
+    cfg = cfg or MDConfig()
+    state = init_state(cfg, key)
+
+    t0 = time.perf_counter()
+    state_eq = equilibrate(cfg, state)
+    jax.block_until_ready(state_eq.position)
+    time_eq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    final, (r_hist, ke_hist, pe_hist) = production(cfg, state_eq)
+    jax.block_until_ready(r_hist)
+    time_prod = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rdf_r, rdf_g = rdf(cfg, r_hist)
+    jax.block_until_ready(rdf_g)
+    time_rdf = time.perf_counter() - t0
+
+    res = MDResult(
+        state=final,
+        r_history=r_hist,
+        ke_history=ke_hist,
+        pe_history=pe_hist,
+        rdf_r=rdf_r,
+        rdf_g=rdf_g,
+        time_eq_s=time_eq,
+        time_prod_s=time_prod,
+        time_rdf_s=time_rdf,
+        particle_steps_per_sec=cfg.n
+        * (cfg.eq_steps + cfg.prod_steps)
+        / max(time_eq + time_prod, 1e-12),
+    )
+    return res

@@ -14,4 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment may pre-register an accelerator plugin that wins over the
+# JAX_PLATFORMS env var; the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.default_backend() == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()

@@ -1,0 +1,169 @@
+"""End-to-end tests for the N-body merger workload: Kepler two-body oracle,
+reference parity of RK4 scan + GW strain, Lyapunov methods."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax_tpus_benchmark_physics_simulation_tpu.core.config import NBodyConfig, override
+from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger as nb
+
+
+def two_body_circular_cfg():
+    """Equal masses on a circular orbit: ring ICs with v chosen so that
+    a = v^2/r_orbit = G m_other / d^2. d = initial_distance, r_orbit = d/2,
+    so v = sqrt(G m / (2 d))."""
+    m, d, g = 4.0, 2.0, 1.0
+    v = np.sqrt(g * m / (2 * d))
+    period = 2 * np.pi * (d / 2) / v
+    cfg = override(
+        NBodyConfig(),
+        n_bodies=2,
+        masses=(m, m),
+        initial_distance=d,
+        initial_velocity=float(v),
+        sim_time=float(period),
+        num_steps=2000,
+        compute_chaos=False,
+    )
+    return cfg, period
+
+
+class TestKeplerOracle:
+    def test_circular_orbit_closes(self):
+        """After one period the bodies return to their starting points."""
+        cfg, _ = two_body_circular_cfg()
+        y0 = nb.init_state_flat(cfg)
+        masses = jnp.asarray(cfg.masses)
+        ys = nb.simulate(cfg, y0, masses)
+        np.testing.assert_allclose(np.asarray(ys[-1]), np.asarray(y0), atol=5e-3)
+
+    def test_separation_constant(self):
+        cfg, _ = two_body_circular_cfg()
+        y0 = nb.init_state_flat(cfg)
+        ys = nb.simulate(cfg, y0, jnp.asarray(cfg.masses))
+        pos = np.asarray(ys[:, :4]).reshape(-1, 2, 2)
+        sep = np.linalg.norm(pos[:, 0] - pos[:, 1], axis=1)
+        np.testing.assert_allclose(sep, cfg.initial_distance, rtol=1e-3)
+
+
+class TestReferenceParity:
+    def test_ring_ics_match_reference(self):
+        """init_state_flat == nbody...:99-108 layout converted."""
+        cfg = override(NBodyConfig(), n_bodies=3)
+        y = np.asarray(nb.init_state_flat(cfg))
+        # reference builds [x, y, vx, vy] * n
+        ref = []
+        for i in range(3):
+            angle = 2 * np.pi * i / 3
+            ref.extend(
+                [
+                    cfg.initial_distance * np.cos(angle) / 2,
+                    cfg.initial_distance * np.sin(angle) / 2,
+                    -cfg.initial_velocity * np.sin(angle),
+                    cfg.initial_velocity * np.cos(angle),
+                ]
+            )
+        ref = np.array(ref).reshape(3, 4)
+        np.testing.assert_allclose(y[:6].reshape(3, 2), ref[:, :2], rtol=1e-6)
+        np.testing.assert_allclose(y[6:].reshape(3, 2), ref[:, 2:], rtol=1e-6)
+
+    def test_trajectory_matches_reference_rk4(self):
+        """Engine scan == transcription of nbody...:54-97 (vectorized forces,
+        same RK4, same scan structure)."""
+        cfg = override(NBodyConfig(), sim_time=20.0, num_steps=100, compute_chaos=False)
+        masses = jnp.asarray(cfg.masses)
+        y0 = nb.init_state_flat(cfg)
+        ys = nb.simulate(cfg, y0, masses)
+
+        # transcription
+        g = cfg.g
+        n = cfg.n_bodies
+        dt = cfg.sim_time / cfg.num_steps
+
+        def pairwise(pos):
+            acc = jnp.zeros_like(pos)
+            for i in range(n):
+                for j in range(n):
+                    if i == j:
+                        continue
+                    r_vec = pos[j] - pos[i]
+                    r = jnp.linalg.norm(r_vec)
+                    a = jnp.where(r >= 1e-6, g * masses[j] / r**3, 0.0)
+                    acc = acc.at[i].add(a * r_vec)
+            return acc
+
+        def ode(t, y):
+            pos = y[: 2 * n].reshape(n, 2)
+            vel = y[2 * n :].reshape(n, 2)
+            return jnp.concatenate([vel.ravel(), pairwise(pos).ravel()])
+
+        y = y0
+        ref = [y0]
+        for i in range(cfg.num_steps):
+            t = i * dt
+            k1 = ode(t, y)
+            k2 = ode(t + 0.5 * dt, y + 0.5 * dt * k1)
+            k3 = ode(t + 0.5 * dt, y + 0.5 * dt * k2)
+            k4 = ode(t + dt, y + dt * k3)
+            y = y + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            ref.append(y)
+        ref = np.stack([np.asarray(r) for r in ref])
+        np.testing.assert_allclose(np.asarray(ys), ref, rtol=1e-4, atol=1e-4)
+
+    def test_gw_strain_matches_reference_numpy(self):
+        """On-device gw_strain == transcription of nbody...:147-171."""
+        cfg = override(NBodyConfig(), sim_time=50.0, num_steps=200, compute_chaos=False)
+        masses = np.asarray(cfg.masses)
+        y0 = nb.init_state_flat(cfg)
+        ys, t, positions_t, h_ours = nb.simulate_with_waveform(cfg, y0, jnp.asarray(cfg.masses))
+        t_np, pos_np = np.asarray(t), np.asarray(positions_t)
+
+        g, c = cfg.g, cfg.c
+        h_ref = np.zeros_like(t_np)
+        n_pairs = 0
+        d_m = cfg.d_gw_mpc * 3.086e22
+        for i in range(len(masses)):
+            for j in range(i + 1, len(masses)):
+                n_pairs += 1
+                r_ij = np.linalg.norm(pos_np[:, i] - pos_np[:, j], axis=1)
+                r_ij[r_ij < 1e-6] = 1e-6
+                mu = masses[i] * masses[j] / (masses[i] + masses[j])
+                chirp = mu ** (3.0 / 5) * (masses[i] + masses[j]) ** (2.0 / 5)
+                omega = np.sqrt(g * (masses[i] + masses[j]) / r_ij**3)
+                dt_arr = np.diff(t_np, prepend=t_np[0])
+                phi = np.zeros_like(t_np)
+                phi[1:] = np.cumsum(omega[1:] * dt_arr[1:])
+                amp = (4 * (g * chirp) ** (5 / 3) / (c**4 * d_m)) * omega ** (2 / 3)
+                h_ref += amp * np.cos(2 * phi)
+        h_ref /= max(n_pairs, 1)
+
+        np.testing.assert_allclose(np.asarray(h_ours), h_ref, rtol=2e-3, atol=1e-24)
+
+
+class TestLyapunov:
+    def test_circular_orbit_not_chaotic(self):
+        """Two-body circular orbit: lambda ~ 0."""
+        cfg, period = two_body_circular_cfg()
+        cfg = override(cfg, lyapunov_method="tangent", sim_time=5 * period, num_steps=2000)
+        lam = float(nb.lyapunov(cfg, nb.init_state_flat(cfg), jnp.asarray(cfg.masses)))
+        assert abs(lam) < 0.5, lam
+
+    def test_methods_same_sign_on_three_body(self):
+        cfg = override(NBodyConfig(), sim_time=100.0, num_steps=500)
+        y0 = nb.init_state_flat(cfg)
+        masses = jnp.asarray(cfg.masses)
+        lam_t = float(nb.lyapunov(override(cfg, lyapunov_method="tangent"), y0, masses))
+        lam_2 = float(
+            nb.lyapunov(override(cfg, lyapunov_method="two_trajectory"), y0, masses)
+        )
+        assert np.isfinite(lam_t) and np.isfinite(lam_2)
+
+
+def test_run_end_to_end():
+    cfg = override(NBodyConfig(), sim_time=20.0, num_steps=50)
+    res = nb.run(cfg)
+    assert res.positions.shape == (51, 3, 2)
+    assert res.h_plus.shape == (51,)
+    assert res.lyapunov is not None and np.isfinite(res.lyapunov)
+    assert np.all(np.isfinite(np.asarray(res.h_plus)))
