@@ -51,7 +51,12 @@ class TestLennardJones:
         lj = LennardJones()
         pos = jax.random.uniform(jax.random.PRNGKey(1), (32, 2), maxval=6.0)
         f = lj.force(pos)
-        np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)), 0.0, atol=1e-3)
+        # Tolerance relative to the force scale: random configs can have
+        # near-overlaps with |F| ~ 1e6+, so an absolute atol is meaningless.
+        scale = float(jnp.max(jnp.abs(f)))
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(f, axis=0)), 0.0, atol=1e-5 * max(scale, 1.0)
+        )
 
     def test_reference_energy_formula(self):
         """Dense energy matches an independent transcription of
