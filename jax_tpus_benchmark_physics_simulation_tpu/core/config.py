@@ -37,6 +37,8 @@ class MDConfig:
     rdf_dr: float = 0.05  # molecular_dynamics...:157
     init: str = "uniform"  # uniform (reference, molecular_dynamics...:134) | lattice
     remove_com_drift: bool = False  # reference never removes COM drift
+    skin: float = 0.4  # Verlet skin for the neighbor-list path
+    pallas_block: int = 256  # tile size for the dense Pallas kernel
 
     @property
     def box_size(self) -> float:

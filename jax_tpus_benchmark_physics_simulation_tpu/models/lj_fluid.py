@@ -70,18 +70,29 @@ def make_potential(cfg: MDConfig) -> LennardJones:
     )
 
 
-def make_force_fn(cfg: MDConfig):
-    """Dispatch the force implementation. All three compute the same physics
-    (cross-checked in tests/test_pallas_kernels.py)."""
-    lj = make_potential(cfg)
+def resolve_impl(cfg: MDConfig) -> str:
     impl = cfg.force_impl
     if impl == "auto":
-        if cfg.cutoff is not None and cfg.n >= 8192:
-            impl = "neighbor"
+        if cfg.cutoff is not None and cfg.n >= 4096:
+            # cell-dense (roll-based, gather-free) when the box is big enough
+            cps = int(cfg.box_size / (cfg.cutoff + cfg.skin))
+            impl = "cell" if cps >= 3 else "neighbor"
         elif cfg.n >= 1024 and jax.default_backend() == "tpu":
             impl = "dense_pallas"
         else:
             impl = "dense_xla"
+    if impl in ("neighbor", "cell") and cfg.cutoff is None:
+        raise ValueError(f"force_impl={impl!r} requires a cutoff")
+    return impl
+
+
+def make_force_fn(cfg: MDConfig):
+    """Dense force dispatch (``R -> F``). The neighbor path has extra carried
+    state and is handled in :func:`build_step`. All implementations compute
+    the same physics (cross-checked in tests/test_pallas_kernels.py and
+    tests/test_neighbor_list.py)."""
+    lj = make_potential(cfg)
+    impl = resolve_impl(cfg)
 
     if impl == "dense_xla":
         return lj.force
@@ -96,23 +107,96 @@ def make_force_fn(cfg: MDConfig):
             epsilon=cfg.epsilon,
             box=cfg.box_size,
             cutoff=cfg.cutoff,
+            block_size=cfg.pallas_block,
         )
-    if impl == "neighbor":
-        raise NotImplementedError("neighbor-list path lands with ops.kernels.neighbor_list")
     raise ValueError(f"unknown force_impl: {cfg.force_impl}")
 
 
 def build_step(cfg: MDConfig):
-    force_fn = make_force_fn(cfg)
+    """Returns ``(init_fn, step_fn, get_state)`` over an opaque carry.
+
+    Dense paths: carry == ParticleState. Neighbor path: carry ==
+    (ParticleState, NeighborList) with skin-gated rebuilds fused into the
+    step (one kick-drift-kick + maybe_rebuild per step, still a single
+    device program under scan).
+    """
     box = cfg.box_size
-    return velocity_verlet(force_fn, cfg.dt, wrap_fn=lambda r: wrap(r, box))
+    impl = resolve_impl(cfg)
+
+    if impl not in ("neighbor", "cell"):
+        force_fn = make_force_fn(cfg)
+        init_fn, step_fn = velocity_verlet(force_fn, cfg.dt, wrap_fn=lambda r: wrap(r, box))
+        return init_fn, step_fn, lambda carry: carry
+
+    structure_fn, force_fn = _make_list_force(cfg, impl)
+    dt = cfg.dt
+
+    def init_fn(state: ParticleState):
+        aux = structure_fn.build(state.position)
+        return state.replace(force=force_fn(state.position, aux)), aux
+
+    def step_fn(carry):
+        state, aux = carry
+        inv_m = 1.0 / state.mass[:, None]
+        v_half = state.velocity + 0.5 * dt * state.force * inv_m
+        r_new = wrap(state.position + dt * v_half, box)
+        aux = structure_fn.maybe_rebuild(r_new, aux)
+        f_new = force_fn(r_new, aux)
+        v_new = v_half + 0.5 * dt * f_new * inv_m
+        return (
+            state.replace(position=r_new, velocity=v_new, force=f_new, time=state.time + dt),
+            aux,
+        )
+
+    return init_fn, step_fn, lambda carry: carry[0]
+
+
+def _make_list_force(cfg: MDConfig, impl: str):
+    """Build the (spatial-structure fn, force fn) pair for list-based paths."""
+    if impl == "neighbor":
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.neighbor_list import (
+            make_lj_force_neighbor,
+            make_neighbor_fn,
+        )
+
+        nf = make_neighbor_fn(
+            cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
+        )
+        return nf, make_lj_force_neighbor(nf, sigma=cfg.sigma, epsilon=cfg.epsilon)
+
+    from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import (
+        make_cell_grid_fn,
+        make_lj_force_cell_dense,
+    )
+
+    gf = make_cell_grid_fn(
+        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
+    )
+    return gf, make_lj_force_cell_dense(gf, sigma=cfg.sigma, epsilon=cfg.epsilon)
+
+
+def make_energy_fn(cfg: MDConfig):
+    """Potential-energy observable matched to the force implementation (list
+    paths reuse the carried spatial structure — O(N*K) / cell-dense)."""
+    impl = resolve_impl(cfg)
+    if impl not in ("neighbor", "cell"):
+        lj = make_potential(cfg)
+        return lambda carry: lj.energy(carry.position)
+
+    _, list_force = _make_list_force(cfg, impl)
+
+    def energy(carry):
+        state, aux = carry
+        return list_force.energy(state.position, aux)
+
+    return energy
 
 
 @partial(jax.jit, static_argnums=(0,))
 def equilibrate(cfg: MDConfig, state: ParticleState) -> ParticleState:
     """Device-fused equilibration (reference: molecular_dynamics...:77-83)."""
-    init_fn, step_fn = build_step(cfg)
-    return run_steps(step_fn, init_fn(state), cfg.eq_steps)
+    init_fn, step_fn, get_state = build_step(cfg)
+    return get_state(run_steps(step_fn, init_fn(state), cfg.eq_steps))
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -123,16 +207,17 @@ def production(cfg: MDConfig, state: ParticleState):
 
     Returns ``(final_state, (r_history, ke_history, pe_history))``.
     """
-    init_fn, step_fn = build_step(cfg)
-    lj = make_potential(cfg)
+    init_fn, step_fn, get_state = build_step(cfg)
+    energy_fn = make_energy_fn(cfg)
 
-    def observe(s):
-        return s.position, kinetic_energy(s), lj.energy(s.position)
+    def observe(carry):
+        s = get_state(carry)
+        return s.position, kinetic_energy(s), energy_fn(carry)
 
     final, (r_hist, ke_hist, pe_hist) = run_trajectory(
         step_fn, init_fn(state), cfg.prod_steps, cfg.sample_every, observe_fn=observe
     )
-    return final, (r_hist, ke_hist, pe_hist)
+    return get_state(final), (r_hist, ke_hist, pe_hist)
 
 
 def rdf(cfg: MDConfig, r_history: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -50,7 +50,7 @@ class TestReferenceParity:
         for 100 steps from the same IC."""
         cfg = small_cfg()
         state = lj_fluid.init_state(cfg)
-        init_fn, step_fn = lj_fluid.build_step(cfg)
+        init_fn, step_fn, _ = lj_fluid.build_step(cfg)
         s = init_fn(state)
         for _ in range(100):
             s = step_fn(s)
@@ -81,7 +81,7 @@ class TestPhysics:
     def test_momentum_conservation(self):
         cfg = small_cfg()
         state = lj_fluid.init_state(cfg)
-        init_fn, step_fn = lj_fluid.build_step(cfg)
+        init_fn, step_fn, _ = lj_fluid.build_step(cfg)
         s = init_fn(state)
         p0 = np.asarray(jnp.sum(s.velocity, axis=0))
         from jax_tpus_benchmark_physics_simulation_tpu.core.runner import run_steps
