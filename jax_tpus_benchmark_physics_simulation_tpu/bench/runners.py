@@ -1,0 +1,280 @@
+"""Benchmark runners: timing harness + multi-device scaling sweep.
+
+Reference: the five ``benchmark_jax_*`` functions + ``benchmark_multiple_cores``
+(tpus_benchmark...:177-650). Same measurement discipline (warmup loop with
+per-step sync, then a timed dispatch loop with one trailing sync, :207-215),
+same result-dict schema ({test, cores, tflops|bandwidth_gbs, avg_ms}) so the
+CSV/plot layer is drop-in compatible.
+
+TPU-native differences:
+- multi-device execution is ``shard_map`` over a 1-D mesh (inputs stacked on
+  a leading device axis — pmap semantics, modern mechanism);
+- the conv op is included in the sweep (dead in the reference);
+- bandwidth uses the honest Pallas streaming copy (ops.py);
+- OOM -> skip with suggestions, divisibility gates, KeyboardInterrupt salvage
+  are all preserved (reference :221-235, :262-265, :698-700).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from jax_tpus_benchmark_physics_simulation_tpu.bench import flops as flops_mod
+from jax_tpus_benchmark_physics_simulation_tpu.bench import ops as ops_mod
+from jax_tpus_benchmark_physics_simulation_tpu.core.config import BenchConfig
+from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
+
+
+def _is_oom(e: Exception) -> bool:
+    msg = str(e).upper()
+    return "RESOURCE_EXHAUSTED" in msg or "OOM" in msg
+
+
+@dataclass
+class BenchContext:
+    cfg: BenchConfig
+    log: Callable[[str], None] = print
+
+    @property
+    def precision(self):
+        return jnp.bfloat16 if self.cfg.precision == "bfloat16" else jnp.float32
+
+    @property
+    def bytes_per_element(self) -> int:
+        return 2 if self.cfg.precision == "bfloat16" else 4
+
+
+def _multi_device_op(op, cores: int):
+    """shard_map over a 1-D mesh: each device runs ``op`` on its slice of the
+    leading axis (the reference's pmap semantics, :192)."""
+    mesh = make_mesh(cores, axis_name="bench")
+
+    def sharded(*args):
+        return jax.shard_map(
+            lambda *xs: op(*(x[0] for x in xs))[None],
+            mesh=mesh,
+            in_specs=tuple(P("bench") for _ in args),
+            out_specs=P("bench"),
+        )(*args)
+
+    return jax.jit(sharded)
+
+
+def _timed_loop(ctx: BenchContext, compiled, args) -> float:
+    """Warmup with per-step sync, then timed dispatch loop with trailing sync
+    (reference :207-215). Returns avg seconds per op."""
+    for _ in range(ctx.cfg.warmup):
+        jax.block_until_ready(compiled(*args))
+    start = time.perf_counter()
+    out = None
+    for _ in range(ctx.cfg.steps):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    # hard sync (block_until_ready alone has been observed unreliable over
+    # remote-tunnel backends; a scalar host read cannot lie)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0].ravel()[0]))
+    return (time.perf_counter() - start) / ctx.cfg.steps
+
+
+def _alloc_normal(key, cores: int, shape_per_core, dtype):
+    """Per-core PRNG streams stacked on the device axis (reference :196-201)."""
+    if cores == 1:
+        return jax.random.normal(key, shape_per_core, dtype=dtype)
+    keys = jax.random.split(key, cores)
+    return jax.vmap(lambda k: jax.random.normal(k, shape_per_core, dtype=dtype))(keys)
+
+
+def _run_op(ctx, name, cores, op, arg_maker, flops_per_call=None, bytes_per_call=None):
+    try:
+        args = arg_maker()
+        jax.block_until_ready(args)
+        compiled = jax.jit(op) if cores == 1 else _multi_device_op(op, cores)
+        avg = _timed_loop(ctx, compiled, args)
+    except Exception as e:  # noqa: BLE001
+        if _is_oom(e):
+            ctx.log(
+                f"[bench] OOM in {name} @ {cores} cores — skipping "
+                f"(reduce --matrix_size / --matrix_depth)"
+            )
+            return None
+        ctx.log(f"[bench] error in {name} @ {cores} cores: {e}")
+        ctx.log(traceback.format_exc())
+        return None
+
+    result = {"test": name, "cores": cores, "avg_ms": avg * 1e3}
+    if flops_per_call is not None:
+        result["tflops"] = flops_per_call / avg / 1e12
+    if bytes_per_call is not None:
+        result["bandwidth_gbs"] = bytes_per_call / avg / (1024**3)
+    ctx.log(
+        f"[bench] {name:9s} cores={cores}: {avg * 1e3:9.3f} ms  "
+        + (f"{result.get('tflops', 0):8.2f} TFLOPS" if flops_per_call else "")
+        + (f"{result.get('bandwidth_gbs', 0):8.2f} GB/s" if bytes_per_call else "")
+    )
+    return result
+
+
+# -- individual benchmarks ---------------------------------------------------
+
+def benchmark_2d(ctx: BenchContext, cores: int):
+    n = ctx.cfg.matrix_size
+    shape = (n, n)
+
+    def alloc():
+        kx, ky = jax.random.split(jax.random.PRNGKey(0))
+        per = shape if cores == 1 else shape
+        return (
+            _alloc_normal(kx, cores, per, ctx.precision),
+            _alloc_normal(ky, cores, per, ctx.precision),
+        )
+
+    return _run_op(
+        ctx, "2D", cores, ops_mod.op_2d, alloc,
+        flops_per_call=flops_mod.matmul_chain_flops(n) * cores,
+    )
+
+
+def benchmark_3d(ctx: BenchContext, cores: int):
+    cfg = ctx.cfg
+    if cores > 1 and cfg.matrix_depth % cores != 0:
+        ctx.log(f"[bench] skip 3D @ {cores} cores: depth {cfg.matrix_depth} not divisible")
+        return None
+    d_per = cfg.matrix_depth // cores
+    shape = (d_per, cfg.matrix_size, cfg.matrix_size)
+
+    def alloc():
+        kx, ky = jax.random.split(jax.random.PRNGKey(42))
+        return (
+            _alloc_normal(kx, cores, shape, ctx.precision),
+            _alloc_normal(ky, cores, shape, ctx.precision),
+        )
+
+    return _run_op(
+        ctx, "3D", cores, ops_mod.op_3d, alloc,
+        flops_per_call=flops_mod.matmul_chain_flops(cfg.matrix_size) * cfg.matrix_depth,
+    )
+
+
+def benchmark_conv(ctx: BenchContext, cores: int):
+    cfg = ctx.cfg
+    cin, cout, kh = 3, 64, 3
+    x_shape = (cfg.batch_size, cfg.conv_size, cfg.conv_size, cin)
+    k_shape = (kh, kh, cin, cout)
+
+    def alloc():
+        kx, kk = jax.random.split(jax.random.PRNGKey(7))
+        return (
+            _alloc_normal(kx, cores, x_shape, ctx.precision),
+            _alloc_normal(kk, cores, k_shape, ctx.precision),
+        )
+
+    return _run_op(
+        ctx, "Conv", cores, ops_mod.op_conv, alloc,
+        flops_per_call=flops_mod.conv_flops(
+            cfg.batch_size, cfg.conv_size, kh, kh, cin, cout
+        ) * cores,
+    )
+
+
+def benchmark_fft_2d(ctx: BenchContext, cores: int):
+    n = ctx.cfg.matrix_size
+    op = partial(ops_mod.op_fft_2d, precision=ctx.precision)
+
+    def alloc():
+        return (_alloc_normal(jax.random.PRNGKey(789), cores, (n, n), ctx.precision),)
+
+    return _run_op(
+        ctx, "2D_FFT", cores, op, alloc,
+        flops_per_call=flops_mod.fft2d_flops(n) * cores,
+    )
+
+
+def benchmark_fft_3d(ctx: BenchContext, cores: int):
+    cfg = ctx.cfg
+    if cores > 1 and cfg.matrix_depth % cores != 0:
+        ctx.log(f"[bench] skip 3D_FFT @ {cores} cores: depth not divisible")
+        return None
+    d_per = cfg.matrix_depth // cores
+    n = cfg.matrix_size
+    op = partial(ops_mod.op_fft_3d, precision=ctx.precision)
+
+    def alloc():
+        return (
+            _alloc_normal(jax.random.PRNGKey(1011), cores, (d_per, n, n), ctx.precision),
+        )
+
+    return _run_op(
+        ctx, "3D_FFT", cores, op, alloc,
+        flops_per_call=flops_mod.fft3d_flops(n, cfg.matrix_depth),
+    )
+
+
+def benchmark_bandwidth(ctx: BenchContext, cores: int):
+    # per-core sizing: min(64Mi elems, 256Mi total / cores) (reference :359-365)
+    max_per_core = 64 * 1024 * 1024
+    requested_total = 256 * 1024 * 1024
+    per_core = int(min(max_per_core, requested_total // max(cores, 1)))
+    op = ops_mod.make_bandwidth_op(per_core, dtype=ctx.precision)
+
+    def alloc():
+        return (
+            _alloc_normal(jax.random.PRNGKey(456), cores, (op.n_elems,), ctx.precision),
+        )
+
+    return _run_op(
+        ctx, "Bandwidth", cores, op, alloc,
+        bytes_per_call=op.bytes_per_call * cores,
+    )
+
+
+ALL_BENCHMARKS = [
+    benchmark_2d,
+    benchmark_3d,
+    benchmark_conv,
+    benchmark_fft_2d,
+    benchmark_fft_3d,
+    benchmark_bandwidth,
+]
+
+
+def compute_core_candidates(max_cores: int, available: Optional[int] = None) -> List[int]:
+    """{1} + powers of two <= max + max itself, clipped to available
+    (reference :593-620)."""
+    if available is None:
+        available = jax.device_count()
+    cand = {1}
+    p = 1
+    while p <= max_cores:
+        cand.add(p)
+        p *= 2
+    if max_cores >= 1:
+        cand.add(max_cores)
+    return sorted(c for c in cand if 0 < c <= available)
+
+
+def run_sweep(cfg: BenchConfig, log: Callable[[str], None] = print) -> List[dict]:
+    """Full sweep over core counts x ops, with KeyboardInterrupt salvage
+    (reference :696-703)."""
+    ctx = BenchContext(cfg, log)
+    available = jax.device_count()
+    max_cores = cfg.max_cores if cfg.max_cores > 0 else available
+    max_cores = min(max_cores, available)
+    results: List[dict] = []
+    try:
+        for cores in compute_core_candidates(max_cores, available):
+            log(f"[bench] === {cores} device(s) ===")
+            for bench in ALL_BENCHMARKS:
+                res = bench(ctx, cores)
+                if res:
+                    results.append(res)
+    except KeyboardInterrupt:
+        log("[bench] interrupted — salvaging partial results")
+    return results

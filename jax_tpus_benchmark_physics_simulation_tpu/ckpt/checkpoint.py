@@ -1,0 +1,59 @@
+"""Checkpoint / resume of engine state via orbax.
+
+The reference has NO checkpointing (SURVEY.md §5: orbax is installed by its
+README:89 but never imported; every run restarts from scratch). Here any
+pytree (ParticleState, GridMDState, VMC carry, ...) can be saved per step and
+restored, so 1M-step runs are resumable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+    return ocp.CheckpointManager(directory, options=options)
+
+
+def save_checkpoint(directory: str, step: int, state: Any, max_to_keep: int = 3) -> None:
+    """Save a pytree at ``step`` under ``directory`` (blocking)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(directory: str, target: Any, step: Optional[int] = None) -> Any:
+    """Restore a pytree with the structure/shapes of ``target``. Returns the
+    restored pytree (``target`` is the abstract template)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {directory}")
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr.close()
+    return restored

@@ -1,0 +1,390 @@
+"""Unified CLI: one entry point with subcommands for the five workloads.
+
+Replaces the reference's four inconsistent argparse blocks + one interactive
+prompt script (SURVEY.md §5 "Config/flag system") with:
+
+    jtps bench [...]    tpus_benchmark...:28-39 flags
+    jtps md    [...]    molecular_dynamics...:194-215 flags
+    jtps nbody [...]    nbody...:29-39 prompts as flags (+ --interactive)
+    jtps em3   [...]    three_particles...:9-17 flags
+    jtps vmc   [...]    vmc_dmc...:348-360 flags
+    jtps devices        utils/jax_devices.py (without import side effects)
+    jtps check-deps     utils/check_deps.py (without its NameError bug :103)
+
+Flag names/defaults mirror the reference so users can switch 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from jax_tpus_benchmark_physics_simulation_tpu.core import config as cfgs
+from jax_tpus_benchmark_physics_simulation_tpu.report import console
+
+
+def _add_bench(sub):
+    p = sub.add_parser("bench", help="TPU op benchmark suite (matmul/FFT/conv/bandwidth)")
+    p.add_argument("-w", "--warmup", type=int, default=10)
+    p.add_argument("-m", "--steps", type=int, default=2500)
+    p.add_argument("-mxs", "--matrix_size", type=int, default=4096)
+    p.add_argument("-md", "--matrix_depth", type=int, default=6)
+    p.add_argument("-c", "--conv_size", type=int, default=64)
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--precision", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--max_cores", type=int, default=0)
+    p.add_argument("--csv", type=str, default=None)
+    p.add_argument("--plot", type=str, default="tpu_benchmark_results.png")
+    p.add_argument("--no-plot", action="store_true")
+
+
+def _add_md(sub):
+    p = sub.add_parser("md", help="Lennard-Jones fluid MD")
+    p.add_argument("--N", type=int, default=400)
+    p.add_argument("--rho", type=float, default=0.8)
+    p.add_argument("--kT", type=float, default=1.0)
+    p.add_argument("--dt", type=float, default=1e-3)
+    p.add_argument("--eq_steps", type=int, default=10000)
+    p.add_argument("--prod_steps", type=int, default=10000)
+    p.add_argument("--sample_every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", type=str, default="g_r_plot.png")
+    p.add_argument("--cutoff", type=float, default=None)
+    p.add_argument("--force-impl", type=str, default="auto",
+                   choices=["auto", "dense_xla", "dense_pallas", "neighbor", "cell", "grid"])
+    p.add_argument("--init", type=str, default="uniform", choices=["uniform", "lattice"])
+    p.add_argument("--ckpt-dir", type=str, default=None)
+
+
+def _add_nbody(sub):
+    p = sub.add_parser("nbody", help="N-body BH merger + GW + Lyapunov")
+    p.add_argument("--n_bodies", type=int, default=3)
+    p.add_argument("--masses", type=float, nargs="+", default=None,
+                   help="per-body masses in Msun (default 30 each)")
+    p.add_argument("--initial_distance", type=float, default=100.0)
+    p.add_argument("--initial_velocity", type=float, default=0.1)
+    p.add_argument("--sim_time", type=float, default=200.0)
+    p.add_argument("--d_gw", type=float, default=410.0)
+    p.add_argument("--num_steps", type=int, default=1000)
+    p.add_argument("--no-chaos", action="store_true")
+    p.add_argument("--lyapunov", type=str, default="tangent",
+                   choices=["tangent", "two_trajectory"])
+    p.add_argument("--no-media", action="store_true", help="skip GIF/WAV/plots")
+    p.add_argument("--interactive", action="store_true",
+                   help="prompt for parameters (reference behavior)")
+
+
+def _add_em3(sub):
+    p = sub.add_parser("em3", help="three charged particles, gravity + EM field")
+    p.add_argument("--dt", type=float, default=0.01)
+    p.add_argument("--n_steps", type=int, default=1000)
+    p.add_argument("--G", type=float, default=1.0)
+    p.add_argument("--Bz", type=float, default=1.0)
+    p.add_argument("--Bk", type=float, default=0.0)
+    p.add_argument("--Ex", type=float, default=0.0)
+    p.add_argument("--Ey", type=float, default=0.0)
+    p.add_argument("--integrator", type=str, default="boris", choices=["boris", "reference"])
+    p.add_argument("--no-media", action="store_true")
+
+
+def _add_vmc(sub):
+    p = sub.add_parser("vmc", help="VMC + DMC quantum harmonic oscillator")
+    p.add_argument("--n_walkers", type=int, default=10000)
+    p.add_argument("--n_epochs", type=int, default=3000)
+    p.add_argument("--n_equil", type=int, default=100)
+    p.add_argument("--step_size", type=float, default=2.0)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--n_dmc", type=int, default=500)
+    p.add_argument("--dmc_dt", type=float, default=0.01)
+    p.add_argument("--dim", type=int, default=3)
+    p.add_argument("--resampler", type=str, default="systematic",
+                   choices=["systematic", "multinomial"])
+    p.add_argument("--no-gif", action="store_true")
+    p.add_argument("--no-plot", action="store_true")
+
+
+def cmd_bench(args) -> int:
+    from jax_tpus_benchmark_physics_simulation_tpu.bench import (
+        device_rows,
+        run_sweep,
+        system_info,
+    )
+    from jax_tpus_benchmark_physics_simulation_tpu.report.export import write_csv
+    from jax_tpus_benchmark_physics_simulation_tpu.utils.deps import check_dependencies
+
+    check_dependencies()
+    console.kv_table("System Information", system_info())
+    console.records_table("JAX Devices", device_rows())
+
+    cfg = cfgs.BenchConfig(
+        warmup=max(0, args.warmup),
+        steps=max(1, args.steps),
+        matrix_size=max(1, args.matrix_size),
+        matrix_depth=max(1, args.matrix_depth),
+        conv_size=max(1, args.conv_size),
+        batch_size=max(1, args.batch_size),
+        precision=args.precision,
+        max_cores=args.max_cores,
+    )
+    results = run_sweep(cfg, log=console.log)
+    if not results:
+        console.log("[yellow]No benchmark results collected.[/yellow]")
+        return 1
+    console.records_table(
+        "Benchmark Results", results, ["test", "cores", "tflops", "bandwidth_gbs", "avg_ms"]
+    )
+    if args.csv:
+        write_csv(results, args.csv)
+        console.log(f"CSV written: {args.csv}")
+    if not args.no_plot and args.plot:
+        from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (
+            plot_benchmark_results,
+        )
+
+        out = plot_benchmark_results(results, args.plot)
+        console.log(f"Plot saved: {out}")
+    return 0
+
+
+def cmd_md(args) -> int:
+    from jax_tpus_benchmark_physics_simulation_tpu.core.config import MDConfig, override
+    from jax_tpus_benchmark_physics_simulation_tpu.models import lj_fluid
+    from jax_tpus_benchmark_physics_simulation_tpu.report.plots import plot_rdf
+
+    cfg = override(
+        MDConfig(),
+        n=args.N,
+        rho=args.rho,
+        kt=args.kT,
+        dt=args.dt,
+        eq_steps=args.eq_steps,
+        prod_steps=args.prod_steps,
+        sample_every=args.sample_every,
+        seed=args.seed,
+        cutoff=args.cutoff,
+        force_impl=getattr(args, "force_impl"),
+        init=args.init,
+    )
+    console.panel(
+        f"N={cfg.n}  rho={cfg.rho}  kT={cfg.kt}  box={cfg.box_size:.2f}\n"
+        f"steps: {cfg.eq_steps:,} eq / {cfg.prod_steps:,} prod  dt={cfg.dt}\n"
+        f"force: {lj_fluid.resolve_impl(cfg)}  cutoff={cfg.cutoff}",
+        title="Molecular Dynamics (TPU-native)",
+    )
+    res = lj_fluid.run(cfg)
+    console.records_table(
+        "Simulation Summary",
+        [
+            {"phase": "Equilibration", "time_s": res.time_eq_s, "detail": f"{cfg.eq_steps:,} steps"},
+            {"phase": "Production", "time_s": res.time_prod_s, "detail": f"{cfg.prod_steps:,} steps"},
+            {"phase": "g(r)", "time_s": res.time_rdf_s, "detail": f"{res.r_history.shape[0]} snapshots"},
+        ],
+        ["phase", "time_s", "detail"],
+    )
+    console.log(
+        f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s; "
+        f"energy drift: {res.energy_drift:.2e}"
+    )
+    out = plot_rdf(res.rdf_r, res.rdf_g, cfg.n, cfg.rho, cfg.kt, args.output)
+    console.log(f"Plot saved: {out}")
+    return 0
+
+
+def cmd_nbody(args) -> int:
+    from jax_tpus_benchmark_physics_simulation_tpu.core.config import NBodyConfig, override
+    from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger
+
+    if args.interactive:
+        from rich.prompt import FloatPrompt, IntPrompt, Prompt
+
+        args.n_bodies = IntPrompt.ask("Number of black holes (2-5 recommended)", default=3)
+        args.masses = [
+            FloatPrompt.ask(f"Mass of BH{i + 1} (Msun)", default=30.0)
+            for i in range(args.n_bodies)
+        ]
+        args.initial_distance = FloatPrompt.ask("Typical initial separation", default=100.0)
+        args.initial_velocity = FloatPrompt.ask("Typical initial velocity (v/c)", default=0.1)
+        args.sim_time = FloatPrompt.ask("Simulation time", default=200.0)
+        args.d_gw = FloatPrompt.ask("GW observer distance (Mpc)", default=410.0)
+        args.no_chaos = Prompt.ask("Compute Lyapunov exponent? (y/n)", default="y") != "y"
+
+    masses = tuple(args.masses) if args.masses else tuple([30.0] * args.n_bodies)
+    cfg = override(
+        NBodyConfig(),
+        n_bodies=args.n_bodies,
+        masses=masses,
+        initial_distance=args.initial_distance,
+        initial_velocity=args.initial_velocity,
+        sim_time=args.sim_time,
+        d_gw_mpc=args.d_gw,
+        num_steps=args.num_steps,
+        compute_chaos=not args.no_chaos,
+        lyapunov_method=args.lyapunov,
+    )
+    console.panel(
+        f"bodies={cfg.n_bodies} masses={masses} sep={cfg.initial_distance} "
+        f"v/c={cfg.initial_velocity}\nT={cfg.sim_time} steps={cfg.num_steps} "
+        f"D_gw={cfg.d_gw_mpc} Mpc",
+        title="N-Body BH Merger (TPU-native)",
+    )
+    res = nbody_merger.run(cfg)
+    console.log(f"simulation: {res.sim_wall_s * 1000:.2f} ms (one fused device program)")
+    if res.lyapunov is not None:
+        console.log(
+            f"Lyapunov exponent ({cfg.lyapunov_method}): {res.lyapunov:.3f} "
+            "(positive = chaotic orbit)"
+        )
+    if not args.no_media:
+        from jax_tpus_benchmark_physics_simulation_tpu.report.export import (
+            write_json,
+            write_wav,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.report.media import merger_gif
+        from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (
+            plot_gw_strain,
+            plot_trajectories_3d,
+        )
+        import numpy as np
+
+        console.log(f"GW plot: {plot_gw_strain(res.t, res.h_plus)}")
+        write_wav(np.asarray(res.h_plus), "n_body_gw.wav")
+        console.log("GW audio: n_body_gw.wav")
+        console.log(f"3D plot: {plot_trajectories_3d(res.t, res.positions)}")
+        console.log(f"GIF: {merger_gif(res.t, res.positions, res.h_plus)}")
+        write_json(
+            {
+                "t": np.asarray(res.t),
+                "positions": np.asarray(res.positions),
+                "h_plus": np.asarray(res.h_plus),
+            },
+            "n_body_data.json",
+        )
+        console.log("Data: n_body_data.json")
+    return 0
+
+
+def cmd_em3(args) -> int:
+    from jax_tpus_benchmark_physics_simulation_tpu.core.config import EM3Config, override
+    from jax_tpus_benchmark_physics_simulation_tpu.models import em_three_particles as em3
+
+    cfg = override(
+        EM3Config(),
+        dt=args.dt,
+        n_steps=args.n_steps,
+        g=args.G,
+        bz=args.Bz,
+        bk=args.Bk,
+        ex=args.Ex,
+        ey=args.Ey,
+        integrator=args.integrator,
+    )
+    res = em3.run(cfg)
+    console.log(
+        f"em3: {cfg.n_steps} steps in {res.wall_time_s * 1000:.2f} ms "
+        f"({cfg.integrator} integrator, one fused device program)"
+    )
+    if not args.no_media:
+        from jax_tpus_benchmark_physics_simulation_tpu.report.media import scatter_gif
+
+        console.log(f"GIF: {scatter_gif(res.trajectory, 'three_particles_em_nonuni.gif')}")
+    return 0
+
+
+def cmd_vmc(args) -> int:
+    from jax_tpus_benchmark_physics_simulation_tpu.core.config import VMCDMCConfig, override
+    from jax_tpus_benchmark_physics_simulation_tpu.models import quantum_oscillator
+    from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (
+        plot_dmc_energy,
+        plot_vmc_history,
+    )
+
+    cfg = override(
+        VMCDMCConfig(),
+        n_walkers=args.n_walkers,
+        n_epochs=args.n_epochs,
+        n_equil=args.n_equil,
+        step_size=args.step_size,
+        lr=args.lr,
+        n_dmc=args.n_dmc,
+        dmc_dt=args.dmc_dt,
+        dim=args.dim,
+        resampler=args.resampler,
+        snapshot_every=0 if args.no_gif else 25,
+    )
+    console.panel(
+        f"walkers={cfg.n_walkers:,} dim={cfg.dim} epochs={cfg.n_epochs:,} "
+        f"equil/epoch={cfg.n_equil}\nlr={cfg.lr} dmc_steps={cfg.n_dmc} "
+        f"dmc_dt={cfg.dmc_dt} resampler={cfg.resampler}",
+        title="VMC + DMC (TPU-native)",
+    )
+    res = quantum_oscillator.run(
+        cfg,
+        progress_cb=lambda e, en, al: console.log(
+            f"  epoch {e:5d}  E={en:9.6f}  alpha={al:.6f}"
+        ),
+    )
+    console.log(
+        f"VMC  : E = {res.vmc_energy:.6f} (exact {res.exact_energy}), "
+        f"alpha = {res.vmc_alpha:.6f} (exact {res.exact_alpha})  "
+        f"[{res.vmc_wall_s:.1f}s]"
+    )
+    mean, err = res.dmc.mean_energy()
+    console.log(
+        f"DMC  : E = {float(mean):.6f} +- {float(err):.6f} (exact {res.exact_energy})  "
+        f"[{res.dmc_wall_s:.1f}s]"
+    )
+    if not args.no_plot:
+        console.log(
+            "plots: "
+            + plot_vmc_history(
+                res.vmc.energy_history, res.vmc.params_history,
+                res.exact_energy, res.exact_alpha,
+            )
+            + ", "
+            + plot_dmc_energy(res.dmc.energy_history, res.exact_energy)
+        )
+    return 0
+
+
+def cmd_devices(args) -> int:
+    from jax_tpus_benchmark_physics_simulation_tpu.bench import device_rows
+
+    console.records_table("JAX Devices", device_rows())
+    return 0
+
+
+def cmd_check_deps(args) -> int:
+    from jax_tpus_benchmark_physics_simulation_tpu.utils.deps import check_dependencies
+
+    return 0 if check_dependencies() else 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="jtps",
+        description="TPU-native particle-simulation + benchmark framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_bench(sub)
+    _add_md(sub)
+    _add_nbody(sub)
+    _add_em3(sub)
+    _add_vmc(sub)
+    sub.add_parser("devices", help="list JAX devices")
+    sub.add_parser("check-deps", help="verify required libraries")
+
+    args = parser.parse_args(argv)
+    commands = {
+        "bench": cmd_bench,
+        "md": cmd_md,
+        "nbody": cmd_nbody,
+        "em3": cmd_em3,
+        "vmc": cmd_vmc,
+        "devices": cmd_devices,
+        "check-deps": cmd_check_deps,
+    }
+    return commands[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,13 +79,21 @@ def run_vmc(
     cfg: VMCDMCConfig,
     key: Optional[jax.Array] = None,
     progress_cb: Optional[Callable[[int, float, float], None]] = None,
+    walker_sharding=None,
 ) -> VMCResult:
     """Full VMC optimization. ``progress_cb(epoch, energy, alpha)`` is invoked
-    once per device chunk (not per epoch) if given."""
+    once per device chunk (not per epoch) if given.
+
+    ``walker_sharding``: optional ``NamedSharding`` splitting the walker axis
+    over a device mesh — GSPMD shards the Metropolis sweeps and inserts the
+    psum for the energy/gradient means; results are placement-invariant
+    (jax_threefry_partitionable gives identical random streams)."""
     if key is None:
         key = random.PRNGKey(cfg.seed)
     key, sub = random.split(key)
     walkers = random.normal(sub, (cfg.n_walkers, cfg.dim), dtype=jnp.float32)
+    if walker_sharding is not None:
+        walkers = jax.device_put(walkers, walker_sharding)
     params = jnp.asarray(cfg.alpha_init, dtype=jnp.float32)
 
     optimizer = optax.adam(cfg.lr)

@@ -73,17 +73,43 @@ def make_potential(cfg: MDConfig) -> LennardJones:
 def resolve_impl(cfg: MDConfig) -> str:
     impl = cfg.force_impl
     if impl == "auto":
-        if cfg.cutoff is not None and cfg.n >= 4096:
-            # cell-dense (roll-based, gather-free) when the box is big enough
-            cps = int(cfg.box_size / (cfg.cutoff + cfg.skin))
-            impl = "cell" if cps >= 3 else "neighbor"
+        cps = 0 if cfg.cutoff is None else int(cfg.box_size / (cfg.cutoff + cfg.skin))
+        if cfg.cutoff is not None and cfg.n >= 4096 and cps >= 3:
+            # grid-resident Pallas MD (fastest, 2D); cell-dense covers 3D
+            impl = "grid" if cfg.dim == 2 else "cell"
+        elif cfg.cutoff is not None and cfg.n >= 4096:
+            impl = "neighbor"
         elif cfg.n >= 1024 and jax.default_backend() == "tpu":
             impl = "dense_pallas"
         else:
             impl = "dense_xla"
-    if impl in ("neighbor", "cell") and cfg.cutoff is None:
+    if impl in ("neighbor", "cell", "grid") and cfg.cutoff is None:
         raise ValueError(f"force_impl={impl!r} requires a cutoff")
+    if impl == "grid" and cfg.dim != 2:
+        raise ValueError("force_impl='grid' is 2D only (use 'cell' for 3D)")
     return impl
+
+
+def _make_grid_md(cfg: MDConfig):
+    from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import (
+        make_cell_grid_fn,
+    )
+    from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import GridMD
+
+    gf = make_cell_grid_fn(
+        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
+    )
+    return GridMD(gf, sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt)
+
+
+def _grid_inner_steps(cfg: MDConfig, md) -> int:
+    """Rebuild cadence: largest divisor of sample_every not exceeding the
+    conservative auto window (so production sampling aligns with chunks)."""
+    auto = md.auto_inner_steps(kt=cfg.kt)
+    k = min(auto, cfg.sample_every)
+    while cfg.sample_every % k:
+        k -= 1
+    return max(1, k)
 
 
 def make_force_fn(cfg: MDConfig):
@@ -195,6 +221,21 @@ def make_energy_fn(cfg: MDConfig):
 @partial(jax.jit, static_argnums=(0,))
 def equilibrate(cfg: MDConfig, state: ParticleState) -> ParticleState:
     """Device-fused equilibration (reference: molecular_dynamics...:77-83)."""
+    if resolve_impl(cfg) == "grid":
+        md = _make_grid_md(cfg)
+        k = _grid_inner_steps(cfg, md)
+        gs = md.init(state.position, state.velocity)
+        n_chunks, rem = divmod(cfg.eq_steps, k)
+        if n_chunks:
+            chunk = md.make_chunk_step(k)
+            gs = run_steps(chunk, gs, n_chunks)
+        if rem:
+            gs = md.make_chunk_step(rem)(gs)
+        return state.replace(
+            position=md.positions(gs),
+            velocity=md.velocities(gs),
+            time=state.time + gs.time,
+        )
     init_fn, step_fn, get_state = build_step(cfg)
     return get_state(run_steps(step_fn, init_fn(state), cfg.eq_steps))
 
@@ -207,6 +248,31 @@ def production(cfg: MDConfig, state: ParticleState):
 
     Returns ``(final_state, (r_history, ke_history, pe_history))``.
     """
+    if resolve_impl(cfg) == "grid":
+        md = _make_grid_md(cfg)
+        k = _grid_inner_steps(cfg, md)
+        gs = md.init(state.position, state.velocity)
+        chunk = md.make_chunk_step(k)
+        per_sample = cfg.sample_every // k
+
+        def sample_block(g, _):
+            g = run_steps(chunk, g, per_sample)
+            return g, (md.positions(g), md.kinetic_energy(g), md.potential_energy(g))
+
+        n_samples = cfg.prod_steps // cfg.sample_every
+        gs, (r_hist, ke_hist, pe_hist) = jax.lax.scan(
+            sample_block, gs, length=n_samples
+        )
+        rem = cfg.prod_steps - n_samples * cfg.sample_every
+        if rem:
+            gs = md.make_chunk_step(rem)(gs)
+        final = state.replace(
+            position=md.positions(gs),
+            velocity=md.velocities(gs),
+            time=state.time + gs.time,
+        )
+        return final, (r_hist, ke_hist, pe_hist)
+
     init_fn, step_fn, get_state = build_step(cfg)
     energy_fn = make_energy_fn(cfg)
 

@@ -1,0 +1,48 @@
+"""Result export: CSV (union-of-keys schema), JSON, WAV audio.
+
+Reference: CSV export tpus_benchmark...:708-721 (same fieldname union
+semantics), JSON dump nbody...:284-287, GW audio WAV nbody...:220-227
+(same normalize -> 5x boost -> clip -> int16 pipeline).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from typing import List, Sequence
+
+import numpy as np
+
+
+def write_csv(results: List[dict], path: str) -> None:
+    """Union-of-keys fieldnames, blank for missing (reference :710-717)."""
+    if not results:
+        return
+    fieldnames = sorted(set().union(*(r.keys() for r in results)))
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        writer = csv.DictWriter(f, fieldnames=fieldnames)
+        writer.writeheader()
+        for r in results:
+            writer.writerow({k: r.get(k, "") for k in fieldnames})
+
+
+def write_json(data, path: str) -> None:
+    def default(o):
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, (np.floating, np.integer)):
+            return o.item()
+        return str(o)
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(data, f, default=default)
+
+
+def write_wav(signal: Sequence[float], path: str, sample_rate: int = 44100, boost: float = 5.0) -> None:
+    """Normalized, boosted, clipped int16 WAV (reference nbody...:220-227)."""
+    from scipy.io import wavfile
+
+    sig = np.asarray(signal, dtype=np.float64)
+    normalized = sig / (np.max(np.abs(sig)) + 1e-10)
+    clipped = np.clip(normalized * boost, -1.0, 1.0)
+    wavfile.write(path, sample_rate, np.int16(clipped * 32767))

@@ -1,0 +1,134 @@
+"""Grid-resident MD engine: parity vs the dense engine path, rebuild
+correctness (migration vs sort oracle), violation detection, and the
+lj_fluid 'grid' dispatch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax_tpus_benchmark_physics_simulation_tpu.core.config import MDConfig, override
+from jax_tpus_benchmark_physics_simulation_tpu.models import lj_fluid
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import (
+    make_cell_grid_fn,
+)
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import GridMD
+from tests.test_pallas_kernels import lattice_positions
+
+
+def setup(n=400, rho=0.5, dt=1e-3, kt=0.5, seed=0):
+    box = float(np.sqrt(n / rho))
+    pos = jnp.mod(lattice_positions(n, box, seed=seed), box)
+    vel = np.sqrt(kt) * jax.random.normal(jax.random.PRNGKey(seed + 1), (n, 2))
+    gf = make_cell_grid_fn(box, 2.5, n, dim=2)
+    md = GridMD(gf, dt=dt)
+    return box, pos, vel, md
+
+
+class TestGridMD:
+    def test_init_roundtrip(self):
+        box, pos, vel, md = setup()
+        gs = md.init(pos, vel)
+        assert not bool(gs.overflow)
+        np.testing.assert_allclose(np.asarray(md.positions(gs)), np.asarray(pos), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(md.velocities(gs)), np.asarray(vel), rtol=1e-6)
+
+    def test_matches_dense_trajectory(self):
+        """Chunked grid MD (with migration rebuilds firing) == dense engine
+        over 300 steps."""
+        n, rho, dt = 400, 0.5, 2e-3
+        box, pos, vel, md = setup(n=n, rho=rho, dt=dt, kt=1.0)
+        gs = md.init(pos, vel)
+        chunk = md.make_chunk_step(10)
+        gs = jax.jit(lambda s: jax.lax.fori_loop(0, 30, lambda i, t: chunk(t), s))(gs)
+        assert not bool(gs.overflow)
+
+        cfg = override(
+            MDConfig(), n=n, rho=rho, dt=dt, cutoff=2.5, force_impl="dense_xla"
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.core.state import ParticleState
+        from jax_tpus_benchmark_physics_simulation_tpu.core.runner import run_steps
+
+        init_fn, step_fn, _ = lj_fluid.build_step(cfg)
+        s = init_fn(ParticleState.create(pos, vel))
+        s = jax.jit(lambda t: run_steps(step_fn, t, 300))(s)
+
+        np.testing.assert_allclose(
+            np.asarray(md.positions(gs)), np.asarray(s.position), rtol=1e-3, atol=1e-3
+        )
+
+    def test_migration_rebuild_matches_sort_rebuild(self):
+        box, pos, vel, md = setup(seed=4)
+        gs = md.init(pos, vel)
+        for _ in range(40):
+            gs = md.step_nocheck(gs)
+        mig = md._rebuild_migrate(gs)
+        srt = md._rebuild(gs)
+        assert not bool(mig.overflow)
+        # same particle->cell assignment content (slot order may differ):
+        np.testing.assert_allclose(
+            np.asarray(md.positions(mig)), np.asarray(md.positions(srt)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(md.velocities(mig)), np.asarray(md.velocities(srt)), rtol=1e-6
+        )
+        # forces carried through the permutation match a fresh re-init
+        fresh = md.init(md.positions(mig), md.velocities(mig))
+        f_mig = np.sort(np.asarray((mig.fxg * mig.occ).reshape(-1)))
+        f_new = np.sort(np.asarray((fresh.fxg * fresh.occ).reshape(-1)))
+        np.testing.assert_allclose(f_mig, f_new, atol=1e-4)
+
+    def test_energy_conservation(self):
+        box, pos, vel, md = setup(n=400, rho=0.4, dt=5e-4, kt=0.5)
+        gs = md.init(pos, vel)
+        chunk = md.make_chunk_step(20)
+        e0 = float(md.kinetic_energy(gs) + md.potential_energy(gs))
+
+        @jax.jit
+        def run(s):
+            return jax.lax.fori_loop(0, 100, lambda i, t: chunk(t), s)
+
+        gs = run(gs)  # 2000 steps
+        assert not bool(gs.overflow)
+        e1 = float(md.kinetic_energy(gs) + md.potential_energy(gs))
+        assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)
+
+    def test_violation_flag_on_oversized_window(self):
+        """A window far larger than the skin allows must trip the flag."""
+        box, pos, vel, md = setup(n=400, rho=0.5, dt=5e-3, kt=2.0)
+        gs = md.init(pos, vel)
+        chunk = md.make_chunk_step(500)  # 500 * vmax * 5e-3 >> skin/2
+        gs = chunk(gs)
+        assert bool(gs.overflow)
+
+
+class TestLJFluidGridDispatch:
+    def test_run_end_to_end_grid(self):
+        cfg = override(
+            MDConfig(),
+            n=400,
+            rho=0.5,
+            cutoff=2.5,
+            force_impl="grid",
+            init="lattice",
+            eq_steps=100,
+            prod_steps=200,
+            sample_every=20,
+            dt=1e-3,
+        )
+        res = lj_fluid.run(cfg)
+        assert res.r_history.shape == (10, 400, 2)
+        assert np.all(np.isfinite(np.asarray(res.r_history)))
+        assert res.energy_drift < 0.05
+
+    def test_grid_matches_dense_xla_production(self):
+        common = dict(
+            n=400, rho=0.5, cutoff=2.5, init="lattice",
+            eq_steps=50, prod_steps=100, sample_every=20, dt=1e-3,
+        )
+        cfg_g = override(MDConfig(), force_impl="grid", **common)
+        cfg_d = override(MDConfig(), force_impl="dense_xla", **common)
+        state = lj_fluid.init_state(cfg_g)
+        _, (_, ke_g, pe_g) = lj_fluid.production(cfg_g, state)
+        _, (_, ke_d, pe_d) = lj_fluid.production(cfg_d, state)
+        np.testing.assert_allclose(np.asarray(ke_g), np.asarray(ke_d), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(pe_g), np.asarray(pe_d), rtol=1e-3, atol=0.05)
