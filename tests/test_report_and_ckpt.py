@@ -1,0 +1,128 @@
+"""Report layer (export/plots/media) and checkpoint/resume tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax_tpus_benchmark_physics_simulation_tpu.core.state import ParticleState
+from jax_tpus_benchmark_physics_simulation_tpu.report.export import (
+    write_csv,
+    write_json,
+    write_wav,
+)
+
+
+class TestExport:
+    def test_csv_union_of_keys(self, tmp_path):
+        rows = [
+            {"test": "2D", "cores": 1, "tflops": 1.5},
+            {"test": "Bandwidth", "cores": 1, "bandwidth_gbs": 100.0},
+        ]
+        path = str(tmp_path / "r.csv")
+        write_csv(rows, path)
+        content = open(path).read()
+        header = content.splitlines()[0].split(",")
+        assert set(header) == {"test", "cores", "tflops", "bandwidth_gbs"}
+
+    def test_json_handles_arrays(self, tmp_path):
+        path = str(tmp_path / "d.json")
+        write_json({"t": np.arange(3), "x": np.float32(1.5)}, path)
+        import json
+
+        data = json.load(open(path))
+        assert data["t"] == [0, 1, 2]
+
+    def test_wav(self, tmp_path):
+        path = str(tmp_path / "s.wav")
+        write_wav(np.sin(np.linspace(0, 100, 4410)), path)
+        from scipy.io import wavfile
+
+        rate, data = wavfile.read(path)
+        assert rate == 44100
+        assert data.dtype == np.int16
+        assert np.max(np.abs(data)) > 1000
+
+
+class TestMedia:
+    def test_scatter_gif(self, tmp_path):
+        from jax_tpus_benchmark_physics_simulation_tpu.report.media import scatter_gif
+
+        traj = np.random.randn(10, 3, 2) * 0.5
+        out = scatter_gif(traj, str(tmp_path / "t.gif"), fps=10)
+        assert os.path.getsize(out) > 0
+
+    def test_merger_gif(self, tmp_path):
+        from jax_tpus_benchmark_physics_simulation_tpu.report.media import merger_gif
+
+        t = np.linspace(0, 1, 8)
+        pos = np.random.randn(8, 3, 2)
+        h = np.sin(t)
+        out = merger_gif(t, pos, h, str(tmp_path / "m.gif"), frame_step=2)
+        assert os.path.getsize(out) > 0
+
+    def test_walker_gif(self, tmp_path):
+        from jax_tpus_benchmark_physics_simulation_tpu.report.media import (
+            walker_histogram_gif,
+        )
+
+        snaps = np.random.randn(4, 500, 2)
+        out = walker_histogram_gif(
+            snaps, output=str(tmp_path / "w.gif"), exact_sigma=1 / np.sqrt(2)
+        )
+        assert os.path.getsize(out) > 0
+
+
+class TestCheckpoint:
+    def test_save_restore_particle_state(self, tmp_path):
+        from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
+            latest_step,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        state = ParticleState.create(
+            jax.random.normal(jax.random.PRNGKey(0), (16, 2)),
+            jax.random.normal(jax.random.PRNGKey(1), (16, 2)),
+        )
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, 100, state)
+        assert latest_step(d) == 100
+        restored = restore_checkpoint(d, state)
+        np.testing.assert_allclose(
+            np.asarray(restored.position), np.asarray(state.position)
+        )
+        np.testing.assert_allclose(
+            np.asarray(restored.velocity), np.asarray(state.velocity)
+        )
+
+    def test_resume_md_run(self, tmp_path):
+        """Save mid-run, restore, continue: trajectory identical to an
+        uninterrupted run (the resumability the reference lacks)."""
+        from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+            MDConfig,
+            override,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.core.runner import run_steps
+        from jax_tpus_benchmark_physics_simulation_tpu.models import lj_fluid
+
+        cfg = override(MDConfig(), n=36, init="lattice", eq_steps=0, dt=1e-3)
+        init_fn, step_fn, _ = lj_fluid.build_step(cfg)
+        s0 = init_fn(lj_fluid.init_state(cfg))
+
+        run50 = jax.jit(lambda s: run_steps(step_fn, s, 50))
+        mid = run50(s0)
+        full = run50(mid)
+
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, 50, mid)
+        resumed = restore_checkpoint(d, mid)
+        cont = run50(resumed)
+        np.testing.assert_allclose(
+            np.asarray(cont.position), np.asarray(full.position), rtol=1e-6
+        )
