@@ -181,9 +181,17 @@ def cmd_md(args) -> int:
         ],
         ["phase", "time_s", "detail"],
     )
+    import math
+
+    drift = res.energy_drift
+    drift_s = (
+        f"{drift:.2e}"
+        if math.isfinite(drift)
+        else "n/a (singular start: uniform init allows particle overlaps; use --init lattice)"
+    )
     console.log(
         f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s; "
-        f"energy drift: {res.energy_drift:.2e}"
+        f"energy drift: {drift_s}"
     )
     out = plot_rdf(res.rdf_r, res.rdf_g, cfg.n, cfg.rho, cfg.kt, args.output)
     console.log(f"Plot saved: {out}")
