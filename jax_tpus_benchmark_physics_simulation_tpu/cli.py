@@ -17,10 +17,27 @@ Flag names/defaults mirror the reference so users can switch 1:1.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from jax_tpus_benchmark_physics_simulation_tpu.core import config as cfgs
 from jax_tpus_benchmark_physics_simulation_tpu.report import console
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-compile of the Pallas/Mosaic
+    kernels costs ~2 minutes on remote-compile TPU backends; the cache makes
+    every later process start instant."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JTPS_COMPILATION_CACHE", os.path.expanduser("~/.cache/jtps_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
 
 def _add_bench(sub):
@@ -382,6 +399,7 @@ def main(argv=None) -> int:
     sub.add_parser("check-deps", help="verify required libraries")
 
     args = parser.parse_args(argv)
+    _enable_compilation_cache()
     commands = {
         "bench": cmd_bench,
         "md": cmd_md,
