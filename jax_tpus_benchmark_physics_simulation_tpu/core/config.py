@@ -61,7 +61,9 @@ class NBodyConfig:
     c: float = 1.0
     # TPU-native extensions:
     lyapunov_method: str = "tangent"  # tangent (variational) | two_trajectory (reference)
-    integrator: str = "rk4"  # rk4 (reference) | dopri5
+    integrator: str = "rk4"  # rk4 (reference) | dopri5 (adaptive)
+    rtol: float = 1e-6  # dopri5 tolerances
+    atol: float = 1e-9
 
 
 @dataclass(frozen=True)

@@ -66,13 +66,23 @@ def make_ode(cfg: NBodyConfig, masses: jax.Array):
 
 @partial(jax.jit, static_argnums=(0,))
 def simulate(cfg: NBodyConfig, y0: jax.Array, masses: jax.Array):
-    """One device program: RK4 scan emitting the full trajectory.
+    """One device program emitting the full trajectory on the output grid.
 
-    Returns ``ys`` of shape (num_steps + 1, 4n) with y0 prepended
-    (matching nbody...:97).
+    ``rk4``: fixed-step scan, arithmetic-identical to nbody...:79-97.
+    ``dopri5``: adaptive embedded RK45 with PI step control inside the same
+    program (resolves close encounters the reference's fixed step misses).
+    Returns ``ys`` of shape (num_steps + 1, 4n) with y0 prepended.
     """
-    dt = cfg.sim_time / cfg.num_steps
     ode = make_ode(cfg, masses)
+    if cfg.integrator == "dopri5":
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.integrators_adaptive import (
+            dopri5_integrate,
+        )
+
+        ts = jnp.linspace(0.0, cfg.sim_time, cfg.num_steps + 1)
+        return dopri5_integrate(ode, y0, ts, rtol=cfg.rtol, atol=cfg.atol).ys
+
+    dt = cfg.sim_time / cfg.num_steps
     step = rk4_step_fn(ode, dt)
 
     def body(y, i):

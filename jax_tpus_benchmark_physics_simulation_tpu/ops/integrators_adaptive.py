@@ -1,0 +1,116 @@
+"""Adaptive Dormand-Prince RK45 (dopri5), fully device-resident.
+
+The reference integrates the BH merger with fixed-step RK4 (nbody...:79-85),
+which wastes steps in quiet phases and under-resolves close encounters. This
+is the SURVEY.md §7 "hard part": adaptive stepping *inside* the device
+program — a ``lax.scan`` over the requested output grid with an inner
+``lax.while_loop`` doing PI-controlled adaptive sub-steps to each output
+time. No host round trips; a ``max_steps`` bound keeps the loop compilable
+and failures loud (``steps_exceeded`` flag, not silence).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Dormand-Prince 5(4) tableau
+_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_B4 = jnp.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def _dopri5_step(f: Callable, t, y, dt):
+    """One embedded step: returns (y5, error_estimate, k1_next_reuse)."""
+    ks = []
+    for i in range(7):
+        ti = t + _C[i] * dt
+        yi = y
+        for j, a in enumerate(_A[i]):
+            yi = yi + dt * a * ks[j]
+        ks.append(f(ti, yi))
+    ks = jnp.stack(ks)
+    y5 = y + dt * jnp.tensordot(_B5, ks, axes=1)
+    y4 = y + dt * jnp.tensordot(_B4, ks, axes=1)
+    return y5, y5 - y4
+
+
+class Dopri5Result(NamedTuple):
+    ys: jax.Array  # (len(ts), state_dim)
+    steps_taken: jax.Array  # total accepted steps
+    steps_exceeded: jax.Array  # bool: max_steps hit in some interval
+
+
+def dopri5_integrate(
+    ode_fn: Callable,  # (t, y) -> dy/dt, y flat (state_dim,)
+    y0: jax.Array,
+    ts: jax.Array,  # (T,) strictly increasing output times, ts[0] = t0
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    dt0: float | None = None,
+    max_steps_per_interval: int = 10_000,
+    safety: float = 0.9,
+    min_factor: float = 0.2,
+    max_factor: float = 5.0,
+) -> Dopri5Result:
+    """Integrate to every time in ``ts``; one fused device program."""
+    y0 = jnp.asarray(y0)
+    ts = jnp.asarray(ts, dtype=y0.dtype)
+    if dt0 is None:
+        dt0 = (ts[1] - ts[0]) / 10.0 if ts.shape[0] > 1 else jnp.asarray(1e-3, y0.dtype)
+
+    def err_norm(err, y_old, y_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def advance_to(carry, t_next):
+        t, y, dt, total, exceeded = carry
+
+        def cond(s):
+            t, y, dt, n = s
+            return (t < t_next - 1e-12) & (n < max_steps_per_interval)
+
+        def body(s):
+            t, y, dt, n = s
+            dt_try = jnp.minimum(dt, t_next - t)
+            y_new, err = _dopri5_step(ode_fn, t, y, dt_try)
+            norm = err_norm(err, y, y_new)
+            accept = norm <= 1.0
+            factor = jnp.clip(
+                safety * jnp.where(norm > 0, norm, 1e-10) ** -0.2,
+                min_factor,
+                max_factor,
+            )
+            t = jnp.where(accept, t + dt_try, t)
+            y = jnp.where(accept, y_new, y)
+            dt = dt_try * factor
+            return (t, y, dt, n + 1)
+
+        t, y, dt, n = lax.while_loop(cond, body, (t, y, dt, jnp.zeros((), jnp.int32)))
+        exceeded = exceeded | (n >= max_steps_per_interval) & (t < t_next - 1e-12)
+        return (t_next, y, dt, total + n, exceeded), y
+
+    init = (
+        ts[0],
+        y0,
+        jnp.asarray(dt0, y0.dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
+    )
+    (_, _, _, total, exceeded), ys = lax.scan(advance_to, init, ts[1:])
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    return Dopri5Result(ys=ys, steps_taken=total, steps_exceeded=exceeded)
