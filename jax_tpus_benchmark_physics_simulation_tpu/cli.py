@@ -188,7 +188,7 @@ def cmd_md(args) -> int:
         f"force: {lj_fluid.resolve_impl(cfg)}  cutoff={cfg.cutoff}",
         title="Molecular Dynamics (TPU-native)",
     )
-    res = lj_fluid.run(cfg)
+    res = lj_fluid.run(cfg, ckpt_dir=getattr(args, "ckpt_dir", None))
     console.records_table(
         "Simulation Summary",
         [
@@ -359,6 +359,10 @@ def cmd_vmc(args) -> int:
         f"[{res.dmc_wall_s:.1f}s]"
     )
     if not args.no_plot:
+        from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (
+            plot_walker_comparison,
+        )
+
         console.log(
             "plots: "
             + plot_vmc_history(
@@ -367,7 +371,26 @@ def cmd_vmc(args) -> int:
             )
             + ", "
             + plot_dmc_energy(res.dmc.energy_history, res.exact_energy)
+            + ", "
+            + plot_walker_comparison(
+                res.vmc.walkers, res.dmc.walkers, exact_sigma=1.0 / (2.0**0.5)
+            )
         )
+    if not args.no_gif and res.dmc.walker_snapshots is not None:
+        from jax_tpus_benchmark_physics_simulation_tpu.report.media import (
+            walker_histogram_gif,
+        )
+
+        import numpy as np
+
+        snaps = np.asarray(res.dmc.walker_snapshots)
+        gif = walker_histogram_gif(
+            snaps,
+            labels=[f"DMC step {i * cfg.snapshot_every}" for i in range(len(snaps))],
+            output="dmc_animation.gif",
+            exact_sigma=1.0 / (2.0**0.5),
+        )
+        console.log(f"DMC GIF: {gif}")
     return 0
 
 

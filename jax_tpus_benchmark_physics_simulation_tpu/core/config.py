@@ -102,6 +102,7 @@ class VMCDMCConfig:
     resampler: str = "systematic"  # systematic (TPU-friendly) | multinomial (reference)
     epoch_chunk: int = 50  # epochs fused per device program (scan length)
     snapshot_every: int = 0  # 0 = no walker snapshots; >0 for GIF frames
+    prng_impl: str = "auto"  # auto (rbg on TPU, 12x faster) | threefry | rbg
 
 
 @dataclass(frozen=True)

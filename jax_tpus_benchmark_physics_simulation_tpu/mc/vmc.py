@@ -89,7 +89,9 @@ def run_vmc(
     psum for the energy/gradient means; results are placement-invariant
     (jax_threefry_partitionable gives identical random streams)."""
     if key is None:
-        key = random.PRNGKey(cfg.seed)
+        from jax_tpus_benchmark_physics_simulation_tpu.utils.prng import make_key
+
+        key = make_key(cfg.seed, cfg.prng_impl)
     key, sub = random.split(key)
     walkers = random.normal(sub, (cfg.n_walkers, cfg.dim), dtype=jnp.float32)
     if walker_sharding is not None:

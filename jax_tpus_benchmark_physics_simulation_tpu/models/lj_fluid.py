@@ -314,15 +314,37 @@ class MDResult:
         return float(jnp.max(jnp.abs(e - e0) / jnp.abs(e0)))
 
 
-def run(cfg: Optional[MDConfig] = None, key: Optional[jax.Array] = None) -> MDResult:
+def run(
+    cfg: Optional[MDConfig] = None,
+    key: Optional[jax.Array] = None,
+    ckpt_dir: Optional[str] = None,
+) -> MDResult:
     """Full timed pipeline: equilibrate -> production -> g(r), matching the
-    reference's three-phase timing (molecular_dynamics...:138-165)."""
+    reference's three-phase timing (molecular_dynamics...:138-165).
+
+    With ``ckpt_dir``, the equilibrated state is checkpointed (orbax) and
+    reused on re-runs — the resumability the reference lacks (SURVEY.md §5).
+    """
     cfg = cfg or MDConfig()
     state = init_state(cfg, key)
 
     t0 = time.perf_counter()
-    state_eq = equilibrate(cfg, state)
-    jax.block_until_ready(state_eq.position)
+    state_eq = None
+    if ckpt_dir is not None:
+        from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        if latest_step(ckpt_dir) is not None:
+            state_eq = restore_checkpoint(ckpt_dir, state)
+    if state_eq is None:
+        state_eq = equilibrate(cfg, state)
+        jax.block_until_ready(state_eq.position)
+        if ckpt_dir is not None:
+            from jax_tpus_benchmark_physics_simulation_tpu.ckpt import save_checkpoint
+
+            save_checkpoint(ckpt_dir, cfg.eq_steps, state_eq)
     time_eq = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -148,6 +148,30 @@ def plot_vmc_history(energies, alphas, exact_e, exact_alpha, output: str = "vmc_
     return output
 
 
+def plot_walker_comparison(
+    vmc_walkers,
+    dmc_walkers,
+    exact_sigma: float,
+    output: str = "walker_distributions.png",
+) -> str:
+    """Final VMC vs DMC walker x-marginals vs exact ground state
+    (reference vmc_dmc...:333-345)."""
+    x = np.linspace(-3, 3, 200)
+    psi2 = np.exp(-0.5 * (x / exact_sigma) ** 2)
+    psi2 /= np.trapezoid(psi2, x)
+    fig = plt.figure(figsize=(10, 6))
+    plt.hist(np.asarray(vmc_walkers)[:, 0], bins=50, density=True, alpha=0.6, label="VMC Walkers (Final)")
+    plt.hist(np.asarray(dmc_walkers)[:, 0], bins=50, density=True, alpha=0.6, color="green", label="DMC Walkers (Final)")
+    plt.plot(x, psi2, "r-", linewidth=2, label=r"Exact Marginal $|\Psi_0|^2$")
+    plt.title("Final Walker Distribution Marginal (VMC vs DMC vs Exact)")
+    plt.xlabel("Position (x)")
+    plt.ylabel(r"$|\Psi(x)|^2$")
+    plt.legend()
+    plt.savefig(output)
+    plt.close(fig)
+    return output
+
+
 def plot_dmc_energy(energy_history, exact_e, burn_in: int = 100, output: str = "dmc_energy.png") -> str:
     """DMC E_ref trace with mean +- stderr (reference vmc_dmc...:316-331)."""
     e = np.asarray(energy_history)
