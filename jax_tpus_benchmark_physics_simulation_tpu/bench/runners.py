@@ -52,36 +52,57 @@ class BenchContext:
         return 2 if self.cfg.precision == "bfloat16" else 4
 
 
-def _multi_device_op(op, cores: int):
-    """shard_map over a 1-D mesh: each device runs ``op`` on its slice of the
-    leading axis (the reference's pmap semantics, :192)."""
-    mesh = make_mesh(cores, axis_name="bench")
+def _timed_loop(ctx: BenchContext, op, args, cores: int, chain: str = "perturb") -> float:
+    """Measure avg seconds per op with the iteration loop FUSED ON DEVICE.
 
-    def sharded(*args):
-        return jax.shard_map(
-            lambda *xs: op(*(x[0] for x in xs))[None],
-            mesh=mesh,
-            in_specs=tuple(P("bench") for _ in args),
-            out_specs=P("bench"),
-        )(*args)
+    The reference times a host dispatch loop (:210-215). On backends with
+    per-dispatch latency (remote tunnels: ~10 ms measured) that measures the
+    dispatcher, not the op. Here ``steps`` iterations run inside one jitted
+    ``fori_loop`` with a serial data dependency between iterations (so XLA
+    cannot hoist or elide the op), and the final value is read to the host —
+    a sync that cannot lie.
 
-    return jax.jit(sharded)
+    ``chain``: "direct" feeds the output straight back as the input
+    (copy-type ops, exact traffic); "perturb" adds a 1e-30-scaled tap of the
+    output to the original input (keeps values sane for compounding ops).
+    """
+    steps = ctx.cfg.steps
 
+    def loop_body(x0, rest):
+        def body(i, x):
+            out = op(x, *rest)
+            if chain == "direct":
+                return out
+            tap = out if out.ndim == 0 else jnp.sum(out)
+            return x0 + (tap * 1e-30).astype(x0.dtype)
 
-def _timed_loop(ctx: BenchContext, compiled, args) -> float:
-    """Warmup with per-step sync, then timed dispatch loop with trailing sync
-    (reference :207-215). Returns avg seconds per op."""
-    for _ in range(ctx.cfg.warmup):
-        jax.block_until_ready(compiled(*args))
-    start = time.perf_counter()
-    out = None
-    for _ in range(ctx.cfg.steps):
-        out = compiled(*args)
-    jax.block_until_ready(out)
-    # hard sync (block_until_ready alone has been observed unreliable over
-    # remote-tunnel backends; a scalar host read cannot lie)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0].ravel()[0]))
-    return (time.perf_counter() - start) / ctx.cfg.steps
+        x = jax.lax.fori_loop(0, steps, body, x0)
+        return jnp.sum(x)
+
+    if cores == 1:
+        compiled = jax.jit(loop_body)
+    else:
+        mesh = make_mesh(cores, axis_name="bench")
+
+        def sharded(x0, rest):
+            return jax.shard_map(
+                lambda x, *r: loop_body(x[0], [q[0] for q in r])[None],
+                mesh=mesh,
+                in_specs=(P("bench"),) + tuple(P("bench") for _ in rest),
+                out_specs=P("bench"),
+            )(x0, *rest)
+
+        compiled = jax.jit(lambda x0, rest: jnp.sum(sharded(x0, rest)))
+
+    x0, rest = args[0], list(args[1:])
+    _ = float(compiled(x0, rest))  # compile + warmup execution
+    best = float("inf")
+    repeats = max(1, min(3, ctx.cfg.warmup))
+    for _ in range(repeats):
+        start = time.perf_counter()
+        _ = float(compiled(x0, rest))
+        best = min(best, time.perf_counter() - start)
+    return best / steps
 
 
 def _alloc_normal(key, cores: int, shape_per_core, dtype):
@@ -92,12 +113,14 @@ def _alloc_normal(key, cores: int, shape_per_core, dtype):
     return jax.vmap(lambda k: jax.random.normal(k, shape_per_core, dtype=dtype))(keys)
 
 
-def _run_op(ctx, name, cores, op, arg_maker, flops_per_call=None, bytes_per_call=None):
+def _run_op(
+    ctx, name, cores, op, arg_maker,
+    flops_per_call=None, bytes_per_call=None, chain="perturb",
+):
     try:
         args = arg_maker()
         jax.block_until_ready(args)
-        compiled = jax.jit(op) if cores == 1 else _multi_device_op(op, cores)
-        avg = _timed_loop(ctx, compiled, args)
+        avg = _timed_loop(ctx, op, args, cores, chain=chain)
     except Exception as e:  # noqa: BLE001
         if _is_oom(e):
             ctx.log(
@@ -232,6 +255,7 @@ def benchmark_bandwidth(ctx: BenchContext, cores: int):
     return _run_op(
         ctx, "Bandwidth", cores, op, alloc,
         bytes_per_call=op.bytes_per_call * cores,
+        chain="direct",  # copy output feeds the next copy: exact traffic
     )
 
 
