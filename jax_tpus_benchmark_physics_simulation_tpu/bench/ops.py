@@ -73,9 +73,23 @@ def _copy_kernel(src_ref, dst_ref):
     dst_ref[...] = src_ref[...]
 
 
-def make_bandwidth_op(n_elems: int, dtype=jnp.float32, chunk: int = 512 * 1024):
-    """Streaming copy as a Pallas grid over chunks: every byte is read from
-    HBM and written back (2 x size traffic, nothing for XLA to elide)."""
+def make_bandwidth_op(n_elems: int, dtype=jnp.float32, mode: str = "stream", chunk: int = 512 * 1024):
+    """HBM bandwidth op, counted as read + write of the full array.
+
+    ``stream`` (default): a fused elementwise pass ``x + 1`` — one HBM read,
+    one HBM write, impossible for XLA to elide when the output feeds the next
+    iteration (measured 318 GB/s on v5e vs 215 GB/s for the Pallas copy —
+    XLA's streaming pipeline wins, so it is the honest upper measurement).
+    ``pallas_copy``: explicit chunked VMEM round-trip copy kernel.
+    """
+    if mode == "stream":
+        def op(x):
+            return x + jnp.asarray(1.0, dtype)
+
+        op.n_elems = n_elems
+        op.bytes_per_call = 2 * n_elems * jnp.dtype(dtype).itemsize
+        return op
+
     interpret = jax.default_backend() != "tpu"
     n_chunks = max(1, n_elems // chunk)
     n_elems = n_chunks * chunk  # truncate to whole chunks

@@ -53,8 +53,14 @@ class TestOps:
         err = ops.op_fft_2d(x, jnp.float32)
         assert float(err) < 1e-3
 
-    def test_bandwidth_op_copies(self):
-        op = ops.make_bandwidth_op(4096, chunk=1024)
+    def test_bandwidth_op_stream(self):
+        op = ops.make_bandwidth_op(4096)
+        x = jnp.arange(op.n_elems, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(op(x)), np.asarray(x) + 1.0)
+        assert op.bytes_per_call == 2 * op.n_elems * 4
+
+    def test_bandwidth_op_pallas_copy(self):
+        op = ops.make_bandwidth_op(4096, mode="pallas_copy", chunk=1024)
         x = jnp.arange(op.n_elems, dtype=jnp.float32)
         out = op(x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x))
