@@ -116,11 +116,117 @@ def _cell_kernel(
     e_ref[0] = e_acc
 
 
+def _cell_kernel_newton(
+    xs_ref, xn_ref, ys_ref, yn_ref, os_ref, on_ref,
+    fx_ref, fy_ref, e_ref, rfx_ref, rfy_ref, re_ref,
+    *, cap, ncy, box, cutoff2, sigma2, epsilon, shift,
+):
+    """Newton's-third-law variant: each program computes 5 pair blocks
+    instead of 9 — the same-cell block, the (0,+1) column block (reaction
+    folded back in-row), and the three (+1, dy) row blocks whose reactions
+    are emitted into a per-row reaction buffer that the caller rolls onto
+    row i+1. ~45% less pair compute than the symmetric kernel."""
+    x_self = xs_ref[0]
+    y_self = ys_ref[0]
+    o_self = os_ref[0]
+    lanes = x_self.shape[1]
+    kk = (cap * cap, lanes)
+
+    def rep_a(v):
+        return jnp.broadcast_to(v[:, None, :], (cap, cap, lanes)).reshape(kk)
+
+    def rep_b(v):
+        return jnp.broadcast_to(v[None, :, :], (cap, cap, lanes)).reshape(kk)
+
+    x_i = rep_a(x_self)
+    y_i = rep_a(y_self)
+    o_i = rep_a(o_self)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, kk, 0)
+    a_ids = sub // cap
+    b_ids = sub % cap
+    shape3 = (cap, cap, lanes)
+
+    def pair(x_o, y_o, o_o, extra_mask=None):
+        """Returns (f_self_x, f_self_y, e_self, r_x, r_y, r_e): forces on the
+        a-side and the (negated-later) reaction sums on the b-side."""
+        x_j = rep_b(x_o)
+        y_j = rep_b(y_o)
+        o_j = rep_b(o_o)
+        dx = x_i - x_j
+        dx = dx - box * jnp.round(dx * (1.0 / box))
+        dy_ = y_i - y_j
+        dy_ = dy_ - box * jnp.round(dy_ * (1.0 / box))
+        r2 = dx * dx + dy_ * dy_
+        valid = (o_i > 0.5) & (o_j > 0.5) & (r2 < cutoff2)
+        if extra_mask is not None:
+            valid = valid & extra_mask
+        r2_safe = jnp.where(valid, r2, 1.0)
+        inv_r2 = sigma2 / r2_safe
+        s6 = inv_r2 * inv_r2 * inv_r2
+        s12 = s6 * s6
+        fmag = jnp.where(valid, 24.0 * epsilon * (2.0 * s12 - s6) / r2_safe, 0.0)
+        e_pair = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0)
+        fxb = (fmag * dx).reshape(shape3)
+        fyb = (fmag * dy_).reshape(shape3)
+        eb = e_pair.reshape(shape3)
+        return (
+            jnp.sum(fxb, axis=1), jnp.sum(fyb, axis=1), jnp.sum(eb, axis=1),
+            jnp.sum(fxb, axis=0), jnp.sum(fyb, axis=0), jnp.sum(eb, axis=0),
+        )
+
+    # (0,0): same cell, count each pair once (a < b), reaction in-block
+    fx, fy, e, rx, ry, re_ = pair(x_self, y_self, o_self, extra_mask=(a_ids < b_ids))
+    fx_acc = fx - rx
+    fy_acc = fy - ry
+    e_acc = e + re_
+
+    # (0,+1): same row, next column; reaction shifted back one column
+    x_o = _shift_wrap(x_self, 1, ncy)
+    y_o = _shift_wrap(y_self, 1, ncy)
+    o_o = _shift_wrap(o_self, 1, ncy)
+    fx, fy, e, rx, ry, re_ = pair(x_o, y_o, o_o)
+    fx_acc += fx
+    fy_acc += fy
+    e_acc += e
+    fx_acc -= _shift_wrap(rx, -1, ncy)
+    fy_acc -= _shift_wrap(ry, -1, ncy)
+    e_acc += _shift_wrap(re_, -1, ncy)
+
+    # (+1, dy): next row; reactions accumulate into the reaction buffer,
+    # expressed in the next row's own lane frame (shift back by dy)
+    x_next = xn_ref[0]
+    y_next = yn_ref[0]
+    o_next = on_ref[0]
+    rfx_acc = jnp.zeros_like(x_self)
+    rfy_acc = jnp.zeros_like(x_self)
+    re_acc = jnp.zeros_like(x_self)
+    for dy in (-1, 0, 1):
+        x_o = _shift_wrap(x_next, dy, ncy)
+        y_o = _shift_wrap(y_next, dy, ncy)
+        o_o = _shift_wrap(o_next, dy, ncy)
+        fx, fy, e, rx, ry, re_ = pair(x_o, y_o, o_o)
+        fx_acc += fx
+        fy_acc += fy
+        e_acc += e
+        rfx_acc -= _shift_wrap(rx, -dy, ncy)
+        rfy_acc -= _shift_wrap(ry, -dy, ncy)
+        re_acc += _shift_wrap(re_, -dy, ncy)
+
+    fx_ref[0] = fx_acc
+    fy_ref[0] = fy_acc
+    e_ref[0] = e_acc
+    rfx_ref[0] = rfx_acc
+    rfy_ref[0] = rfy_acc
+    re_ref[0] = re_acc
+
+
 def make_grid_force_kernel(
     grid_fn: CellGridFn,
     sigma: float = 1.0,
     epsilon: float = 1.0,
     interpret: Optional[bool] = None,
+    newton: bool = True,
 ):
     """Grid-level entry point: ``(xg, yg, occ) -> (fxg, fyg, eg)`` where all
     arrays have the (ncx, C, ncy_pad) cell-grid layout. Used directly by the
@@ -138,9 +244,7 @@ def make_grid_force_kernel(
     ncy_pad = _round_up(cps, 128)
     sc6 = (sigma / cutoff) ** 6
     shift = 4.0 * epsilon * (sc6 * sc6 - sc6)
-
-    kernel = functools.partial(
-        _cell_kernel,
+    params = dict(
         cap=cap,
         ncy=cps,
         box=float(box),
@@ -152,6 +256,37 @@ def make_grid_force_kernel(
 
     block = pl.BlockSpec((1, cap, ncy_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     grid = (cps,)
+    out_struct = jax.ShapeDtypeStruct((cps, cap, ncy_pad), jnp.float32)
+
+    if newton:
+        kernel = functools.partial(_cell_kernel_newton, **params)
+
+        def grid_force(xg, yg, og):
+            xn = jnp.roll(xg, -1, axis=0)
+            yn = jnp.roll(yg, -1, axis=0)
+            on_ = jnp.roll(og, -1, axis=0)
+            fx, fy, e, rfx, rfy, re_ = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[block] * 6,
+                out_specs=[block] * 6,
+                out_shape=[out_struct] * 6,
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=cps * 5 * cap * cap * ncy_pad * 30,
+                    bytes_accessed=12 * cps * cap * ncy_pad * 4,
+                    transcendentals=0,
+                ),
+            )(xg, xn, yg, yn, og, on_)
+            # reaction buffer of row i applies to row i+1
+            fx = fx + jnp.roll(rfx, 1, axis=0)
+            fy = fy + jnp.roll(rfy, 1, axis=0)
+            e = e + jnp.roll(re_, 1, axis=0)
+            return fx, fy, e
+
+        return grid_force
+
+    kernel = functools.partial(_cell_kernel, **params)
 
     def grid_force(xg, yg, og):
         xp, xn = jnp.roll(xg, 1, axis=0), jnp.roll(xg, -1, axis=0)
@@ -162,7 +297,7 @@ def make_grid_force_kernel(
             grid=grid,
             in_specs=[block] * 9,
             out_specs=[block] * 3,
-            out_shape=[jax.ShapeDtypeStruct((cps, cap, ncy_pad), xg.dtype)] * 3,
+            out_shape=[out_struct] * 3,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=cps * 9 * cap * cap * ncy_pad * 30,
