@@ -99,7 +99,13 @@ def _make_grid_md(cfg: MDConfig):
     gf = make_cell_grid_fn(
         cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
     )
-    return GridMD(gf, sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt)
+    return GridMD(
+        gf,
+        sigma=cfg.sigma,
+        epsilon=cfg.epsilon,
+        dt=cfg.dt,
+        compensated=cfg.compensated,
+    )
 
 
 def _grid_inner_steps(cfg: MDConfig, md) -> int:
