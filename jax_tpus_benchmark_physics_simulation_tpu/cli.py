@@ -376,21 +376,31 @@ def cmd_vmc(args) -> int:
                 res.vmc.walkers, res.dmc.walkers, exact_sigma=1.0 / (2.0**0.5)
             )
         )
-    if not args.no_gif and res.dmc.walker_snapshots is not None:
+    if not args.no_gif:
         from jax_tpus_benchmark_physics_simulation_tpu.report.media import (
             walker_histogram_gif,
         )
 
         import numpy as np
 
-        snaps = np.asarray(res.dmc.walker_snapshots)
-        gif = walker_histogram_gif(
-            snaps,
-            labels=[f"DMC step {i * cfg.snapshot_every}" for i in range(len(snaps))],
-            output="dmc_animation.gif",
-            exact_sigma=1.0 / (2.0**0.5),
-        )
-        console.log(f"DMC GIF: {gif}")
+        if res.vmc.walker_snapshots is not None:
+            snaps = np.asarray(res.vmc.walker_snapshots)
+            gif = walker_histogram_gif(
+                snaps,
+                labels=[f"VMC epoch block {i}" for i in range(len(snaps))],
+                output="vmc_animation.gif",
+                exact_sigma=1.0 / (2.0**0.5),
+            )
+            console.log(f"VMC GIF: {gif}")
+        if res.dmc.walker_snapshots is not None:
+            snaps = np.asarray(res.dmc.walker_snapshots)
+            gif = walker_histogram_gif(
+                snaps,
+                labels=[f"DMC step {i * cfg.snapshot_every}" for i in range(len(snaps))],
+                output="dmc_animation.gif",
+                exact_sigma=1.0 / (2.0**0.5),
+            )
+            console.log(f"DMC GIF: {gif}")
     return 0
 
 
