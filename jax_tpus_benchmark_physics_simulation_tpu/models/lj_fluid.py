@@ -346,7 +346,7 @@ def run(
             state_eq = restore_checkpoint(ckpt_dir, state)
     if state_eq is None:
         state_eq = equilibrate(cfg, state)
-        jax.block_until_ready(state_eq.position)
+        _ = float(state_eq.position[0, 0])  # hard sync (see CLAUDE.md)
         if ckpt_dir is not None:
             from jax_tpus_benchmark_physics_simulation_tpu.ckpt import save_checkpoint
 
@@ -355,12 +355,12 @@ def run(
 
     t0 = time.perf_counter()
     final, (r_hist, ke_hist, pe_hist) = production(cfg, state_eq)
-    jax.block_until_ready(r_hist)
+    _ = float(ke_hist[-1])  # hard sync
     time_prod = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     rdf_r, rdf_g = rdf(cfg, r_hist)
-    jax.block_until_ready(rdf_g)
+    _ = float(rdf_g[0])  # hard sync
     time_rdf = time.perf_counter() - t0
 
     res = MDResult(

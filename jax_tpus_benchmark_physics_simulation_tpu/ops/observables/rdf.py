@@ -4,11 +4,19 @@ Reference: ``_calculate_g_r_internal`` at molecular_dynamics...:108-131
 (per-snapshot O(N^2) distances + ``jnp.histogram`` over ``triu_indices``,
 vmapped over snapshots, normalized by ideal-gas shell counts).
 
-TPU-native differences: the histogram is computed by bucketize + segment-sum
-over the full masked pair matrix (no host ``triu_indices`` gather of a
-dynamic-length vector), which XLA maps onto the VPU without materializing a
-flat (N*(N-1)/2,) array. Normalization is identical; output matches the
-reference to float tolerance (tests/test_md.py).
+TPU-native design:
+- For large systems the dense (N, N) distance matrix cannot exist (40 GB at
+  N = 100k); g(r) is estimated from a fixed random subset of particles
+  (``max_particles``), which is an unbiased estimator of the same g(r) with
+  slightly higher variance — the subset's own pair density normalizes it.
+- Two histogram algorithms, chosen by compute shape:
+  * comparison-based (counts[b] = #(r2 < edge[b+1]^2) - #(r2 < edge[b]^2)):
+    pure VPU compare+reduce, no scatters — fastest when nbins is modest;
+  * bucketize + scatter-add: O(pairs) when nbins is large (wide boxes make
+    nbins ~ box / (2 dr) in the thousands, where the comparison method's
+    O(nbins * pairs) explodes).
+Both match the reference histogram exactly on identical inputs
+(tests/test_md.py).
 """
 
 from __future__ import annotations
@@ -20,17 +28,32 @@ import jax.numpy as jnp
 
 from jax_tpus_benchmark_physics_simulation_tpu.ops.forces.pbc import pair_displacements
 
+# max elements of the (nbins, pairs) comparison block before switching to the
+# scatter-based histogram
+_COMPARE_BUDGET = 2 * 10**9
+# default particle-subset cap: 4096^2 pair distances = 64 MB, always safe
+_DEFAULT_MAX_PARTICLES = 4096
 
-@partial(jax.jit, static_argnums=(2, 4))
+
+@partial(jax.jit, static_argnums=(2, 4, 5))
 def radial_distribution(
     r_history: jax.Array,  # (S, N, dim)
     box: jax.Array | float,
     nbins: int,
     r_max: jax.Array | float,
     dim: int = 2,
+    max_particles: int = _DEFAULT_MAX_PARTICLES,
 ):
     """Returns ``(bin_centers, g_r)``, each shape (nbins,)."""
     s, n, _ = r_history.shape
+
+    if n > max_particles:
+        # fixed, seed-stable random subset (NOT a stride: particle order can
+        # be spatially correlated, e.g. lattice inits)
+        perm = jax.random.permutation(jax.random.PRNGKey(0), n)[:max_particles]
+        r_history = r_history[:, perm, :]
+        n = max_particles
+
     r_bins = jnp.linspace(0.0, r_max, nbins + 1)
     bin_centers = 0.5 * (r_bins[:-1] + r_bins[1:])
     if dim == 2:
@@ -43,21 +66,24 @@ def radial_distribution(
     ideal_counts = rho_pairs * shell
 
     iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    use_compare = (nbins + 1) * n * n <= _COMPARE_BUDGET
 
     def snapshot_hist(r_snap):
         dr = pair_displacements(r_snap, box)
         r2 = jnp.sum(dr * dr, axis=-1)
-        r2 = jnp.where(iu, r2, jnp.inf).ravel()  # (n*n,)
-        # Comparison-based histogram: counts[b] = #(r < edge[b+1]) - #(r < edge[b]).
-        # Pure VPU compare+reduce — no scatter (TPU scatters are descriptor-
-        # serial and dominated the RDF wall time in the bucketize version).
-        edges2 = r_bins * r_bins  # monotone, so compare in r^2 (no sqrt)
-        below = jnp.sum(r2[None, :] < edges2[:, None], axis=1).astype(jnp.float32)
-        return below[1:] - below[:-1]
+        if use_compare:
+            r2 = jnp.where(iu, r2, jnp.inf).ravel()
+            edges2 = r_bins * r_bins  # monotone: compare in r^2, no sqrt
+            below = jnp.sum(r2[None, :] < edges2[:, None], axis=1).astype(jnp.float32)
+            return below[1:] - below[:-1]
+        r = jnp.sqrt(r2)
+        idx = jnp.clip(jnp.searchsorted(r_bins, r, side="right") - 1, 0, nbins)
+        idx = jnp.where(iu & (r < r_max), idx, nbins)
+        counts = jnp.zeros((nbins + 1,), jnp.float32).at[idx.ravel()].add(1.0)
+        return counts[:nbins]
 
-    # Sequential over snapshots (lax.map): the per-snapshot compare block is
-    # (nbins+1, n^2); batching it over all snapshots at once (vmap) would
-    # materialize an O(S * nbins * n^2) intermediate.
+    # Sequential over snapshots: batching would materialize an
+    # O(S * nbins * n^2) (compare) or O(S * n^2) (bucketize) intermediate.
     all_hists = jax.lax.map(snapshot_hist, r_history)
     g_r = jnp.mean(all_hists, axis=0) / ideal_counts
     return bin_centers, g_r
