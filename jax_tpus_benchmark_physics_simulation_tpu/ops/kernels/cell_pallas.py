@@ -227,10 +227,19 @@ def make_grid_force_kernel(
     epsilon: float = 1.0,
     interpret: Optional[bool] = None,
     newton: bool = True,
+    n_rows: Optional[int] = None,
 ):
     """Grid-level entry point: ``(xg, yg, occ) -> (fxg, fyg, eg)`` where all
     arrays have the (ncx, C, ncy_pad) cell-grid layout. Used directly by the
-    grid-resident MD engine (grid_md.py) — no per-particle scatter/gather."""
+    grid-resident MD engine (grid_md.py) — no per-particle scatter/gather.
+
+    ``n_rows``: number of cell rows the call operates on (default: the full
+    grid). The sharded engine passes the per-device row count and uses the
+    attached ``.raw(xs, xn, ys, yn, os, on)`` (Newton mode), supplying
+    halo-built next-row arrays itself; ``.raw`` returns
+    ``(fx, fy, e, rfx, rfy, re)`` with the reaction buffer UNSHIFTED (row i
+    holds the reaction destined for row i+1 — the caller owns the shift,
+    which crosses device boundaries when sharded)."""
     assert grid_fn.dim == 2, "Pallas cell kernel is 2D; use cell_dense for 3D"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -254,18 +263,16 @@ def make_grid_force_kernel(
         shift=float(shift),
     )
 
+    rows = cps if n_rows is None else n_rows
     block = pl.BlockSpec((1, cap, ncy_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    grid = (cps,)
-    out_struct = jax.ShapeDtypeStruct((cps, cap, ncy_pad), jnp.float32)
+    grid = (rows,)
+    out_struct = jax.ShapeDtypeStruct((rows, cap, ncy_pad), jnp.float32)
 
     if newton:
         kernel = functools.partial(_cell_kernel_newton, **params)
 
-        def grid_force(xg, yg, og):
-            xn = jnp.roll(xg, -1, axis=0)
-            yn = jnp.roll(yg, -1, axis=0)
-            on_ = jnp.roll(og, -1, axis=0)
-            fx, fy, e, rfx, rfy, re_ = pl.pallas_call(
+        def raw(xs, xn, ys, yn, os_, on_):
+            return pl.pallas_call(
                 kernel,
                 grid=grid,
                 in_specs=[block] * 6,
@@ -273,17 +280,24 @@ def make_grid_force_kernel(
                 out_shape=[out_struct] * 6,
                 interpret=interpret,
                 cost_estimate=pl.CostEstimate(
-                    flops=cps * 5 * cap * cap * ncy_pad * 30,
-                    bytes_accessed=12 * cps * cap * ncy_pad * 4,
+                    flops=rows * 5 * cap * cap * ncy_pad * 30,
+                    bytes_accessed=12 * rows * cap * ncy_pad * 4,
                     transcendentals=0,
                 ),
-            )(xg, xn, yg, yn, og, on_)
+            )(xs, xn, ys, yn, os_, on_)
+
+        def grid_force(xg, yg, og):
+            xn = jnp.roll(xg, -1, axis=0)
+            yn = jnp.roll(yg, -1, axis=0)
+            on_ = jnp.roll(og, -1, axis=0)
+            fx, fy, e, rfx, rfy, re_ = raw(xg, xn, yg, yn, og, on_)
             # reaction buffer of row i applies to row i+1
             fx = fx + jnp.roll(rfx, 1, axis=0)
             fy = fy + jnp.roll(rfy, 1, axis=0)
             e = e + jnp.roll(re_, 1, axis=0)
             return fx, fy, e
 
+        grid_force.raw = raw
         return grid_force
 
     kernel = functools.partial(_cell_kernel, **params)

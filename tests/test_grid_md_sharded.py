@@ -1,0 +1,98 @@
+"""Sharded grid MD (8-device CPU mesh) vs the single-device engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import (
+    make_cell_grid_fn,
+)
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import GridMD
+from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md_sharded import (
+    ShardedGridMD,
+)
+from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
+from tests.test_pallas_kernels import lattice_positions
+
+
+def setup(n=1600, cutoff=2.5, skin=0.4, dt=1e-3, kt=0.5, p=8):
+    """Box sized so cells_per_side is a multiple of p (8 -> cps=16)."""
+    # cps = floor(box / (cutoff + skin)); want cps = 16 -> box in [46.4, 49.3)
+    box = 16.05 * (cutoff + skin)
+    rho = n / box**2
+    pos = jnp.mod(lattice_positions(n, box, seed=0), box)
+    vel = np.sqrt(kt) * jax.random.normal(jax.random.PRNGKey(1), (n, 2))
+    gf = make_cell_grid_fn(box, cutoff, n, dim=2, skin=skin, rho=rho)
+    assert gf.cells_per_side % p == 0, gf.cells_per_side
+    mesh = make_mesh(p, axis_name="x")
+    local = GridMD(gf, dt=dt)
+    sharded = ShardedGridMD(gf, mesh, dt=dt)
+    return pos, vel, local, sharded
+
+
+class TestShardedForce:
+    def test_force_matches_local(self):
+        pos, vel, local, sharded = setup()
+        gs = local.init(pos, vel)
+        fx_l, fy_l, e_l = local.force_kernel(gs.xg, gs.yg, gs.occ)
+        gss = sharded.shard_state(gs)
+        fx_s, fy_s, e_s = sharded.force_once(gss)
+        occ = np.asarray(gs.occ) > 0.5
+        np.testing.assert_allclose(
+            np.asarray(fx_s)[occ], np.asarray(fx_l)[occ], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_s)[occ], np.asarray(e_l)[occ], rtol=1e-4, atol=1e-4
+        )
+
+
+class TestShardedTrajectory:
+    def test_chunked_run_matches_local(self):
+        pos, vel, local, sharded = setup()
+        gs_l = local.init(pos, vel)
+        gs_s = sharded.shard_state(gs_l)
+
+        chunk_l = local.make_chunk_step(10)
+        chunk_s = sharded.make_chunk_step(10)
+
+        @jax.jit
+        def run_l(s):
+            return jax.lax.fori_loop(0, 20, lambda i, t: chunk_l(t), s)
+
+        @jax.jit
+        def run_s(s):
+            return jax.lax.fori_loop(0, 20, lambda i, t: chunk_s(t), s)
+
+        out_l = run_l(gs_l)
+        out_s = run_s(gs_s)
+        assert not bool(out_l.overflow)
+        assert not bool(out_s.overflow)
+
+        p_l = np.asarray(local.positions(out_l))
+        p_s = np.asarray(local.positions(out_s))  # same layout helpers apply
+        np.testing.assert_allclose(p_s, p_l, rtol=1e-3, atol=1e-3)
+
+        ke_l = float(local.kinetic_energy(out_l))
+        ke_s = float(local.kinetic_energy(out_s))
+        np.testing.assert_allclose(ke_s, ke_l, rtol=1e-3)
+
+    def test_energy_conservation_sharded(self):
+        pos, vel, local, sharded = setup(dt=5e-4)
+        gs = sharded.shard_state(local.init(pos, vel))
+        e0 = float(local.kinetic_energy(gs) + local.potential_energy(gs))
+        chunk = sharded.make_chunk_step(20)
+
+        @jax.jit
+        def run(s):
+            return jax.lax.fori_loop(0, 50, lambda i, t: chunk(t), s)
+
+        gs = run(gs)  # 1000 steps with rebuilds crossing shard boundaries
+        assert not bool(gs.overflow)
+        e1 = float(local.kinetic_energy(gs) + local.potential_energy(gs))
+        assert abs(e1 - e0) / abs(e0) < 5e-3
+
+    def test_mesh_size_must_divide(self):
+        pos, vel, local, _ = setup()
+        with pytest.raises(ValueError):
+            ShardedGridMD(local.grid_fn, make_mesh(3, axis_name="x"))
