@@ -99,13 +99,17 @@ def _make_grid_md(cfg: MDConfig):
     gf = make_cell_grid_fn(
         cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
     )
-    return GridMD(
-        gf,
-        sigma=cfg.sigma,
-        epsilon=cfg.epsilon,
-        dt=cfg.dt,
-        compensated=cfg.compensated,
-    )
+    kw = dict(sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt, compensated=cfg.compensated)
+    n_dev = jax.device_count()
+    if n_dev > 1 and gf.cells_per_side % n_dev == 0:
+        # auto-shard cell rows over all devices (halo-exchange engine)
+        from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md_sharded import (
+            ShardedGridMD,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
+
+        return ShardedGridMD(gf, make_mesh(n_dev, axis_name="x"), **kw)
+    return GridMD(gf, **kw)
 
 
 def _grid_inner_steps(cfg: MDConfig, md) -> int:
@@ -230,7 +234,7 @@ def equilibrate(cfg: MDConfig, state: ParticleState) -> ParticleState:
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
         k = _grid_inner_steps(cfg, md)
-        gs = md.init(state.position, state.velocity)
+        gs = md.prepare(md.init(state.position, state.velocity))
         n_chunks, rem = divmod(cfg.eq_steps, k)
         if n_chunks:
             chunk = md.make_chunk_step(k)
@@ -257,7 +261,7 @@ def production(cfg: MDConfig, state: ParticleState):
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
         k = _grid_inner_steps(cfg, md)
-        gs = md.init(state.position, state.velocity)
+        gs = md.prepare(md.init(state.position, state.velocity))
         chunk = md.make_chunk_step(k)
         per_sample = cfg.sample_every // k
 

@@ -110,6 +110,10 @@ class GridMD:
         cy = cell_id % cps
         return (cx * cap + aa) * self.lanes + cy, overflow
 
+    def prepare(self, state: GridMDState) -> GridMDState:
+        """Placement hook (ShardedGridMD shards here; base is identity)."""
+        return state
+
     def init(self, position: jax.Array, velocity: jax.Array) -> GridMDState:
         slot2, overflow = self._slot2(position)
         z = jnp.zeros((self.size,), position.dtype)

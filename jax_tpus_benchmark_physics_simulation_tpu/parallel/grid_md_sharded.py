@@ -86,6 +86,9 @@ class ShardedGridMD(GridMD):
             n_rows=self.rows_local,
         ).raw
 
+    def prepare(self, state: GridMDState) -> GridMDState:
+        return self.shard_state(state)
+
     # -- sharding helpers -----------------------------------------------------
     def _state_specs(self, state: GridMDState):
         def spec(leaf):
