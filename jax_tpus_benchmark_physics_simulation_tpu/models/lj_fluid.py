@@ -3,13 +3,17 @@
 Reference: molecular_dynamics_jax_single-host_workload.py (216 LoC) — 2D LJ,
 full O(N^2) pair matrix, no cutoff/neighbor lists, fori_loop phases, on-device
 RDF. This module keeps the same physics and defaults while dispatching the
-force evaluation across three implementations behind one interface:
+force evaluation across five implementations behind one interface:
 
-- ``dense_xla``   reference-fidelity O(N^2) (oracle; molecular_dynamics...:50-64)
-- ``dense_pallas``blockwise O(N^2) Pallas kernel, never materializes (N, N)
-- ``neighbor``    O(N) cell-list neighbor path for large N
+- ``dense_xla``    reference-fidelity O(N^2) (oracle; molecular_dynamics...:50-64)
+- ``dense_pallas`` blockwise O(N^2) Pallas kernel, never materializes (N, N)
+- ``neighbor``     O(N*K) Verlet-list gather path
+- ``cell``         roll-based cell-grid path (gather-free), 2D/3D
+- ``grid``         grid-RESIDENT Pallas engine (fastest; auto-shards over
+                   multiple devices via parallel.grid_md_sharded)
 
-This is the north-star metric path (BASELINE.md: particle-steps/sec).
+This is the north-star metric path (BASELINE.md: particle-steps/sec) —
+measured numbers in results/RESULTS.md.
 """
 
 from __future__ import annotations
