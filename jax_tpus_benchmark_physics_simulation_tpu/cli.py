@@ -383,7 +383,7 @@ def cmd_vmc(args) -> int:
 
         import numpy as np
 
-        if res.vmc.walker_snapshots is not None:
+        if res.vmc.walker_snapshots is not None and len(res.vmc.walker_snapshots):
             snaps = np.asarray(res.vmc.walker_snapshots)
             gif = walker_histogram_gif(
                 snaps,
@@ -392,7 +392,7 @@ def cmd_vmc(args) -> int:
                 exact_sigma=1.0 / (2.0**0.5),
             )
             console.log(f"VMC GIF: {gif}")
-        if res.dmc.walker_snapshots is not None:
+        if res.dmc.walker_snapshots is not None and len(res.dmc.walker_snapshots):
             snaps = np.asarray(res.dmc.walker_snapshots)
             gif = walker_histogram_gif(
                 snaps,

@@ -74,7 +74,7 @@ def run_dmc(
 
     @jax.jit
     def program(walkers, key):
-        if snap_every and snap_every > 0:
+        if snap_every and 0 < snap_every <= cfg.n_dmc:
             n_outer = cfg.n_dmc // snap_every
 
             def outer(carry, _):

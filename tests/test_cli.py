@@ -89,3 +89,15 @@ def test_bench_tiny(tmp_path):
     assert rc == 0
     assert os.path.getsize(tmp_path / "r.csv") > 0
     assert os.path.getsize(tmp_path / "b.png") > 0
+
+
+def test_vmc_with_gifs(tmp_path):
+    """GIF path incl. the snapshot_every > n_dmc edge case (0 frames)."""
+    rc = run_in(
+        tmp_path,
+        [
+            "vmc", "--n_walkers", "100", "--n_epochs", "10", "--n_equil", "3",
+            "--n_dmc", "10", "--dim", "2", "--no-plot",
+        ],
+    )
+    assert rc == 0
