@@ -14,7 +14,6 @@ chosen there to defeat trivial constant folding). Differences, documented:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ TPU-native differences:
 - multi-device execution is ``shard_map`` over a 1-D mesh (inputs stacked on
   a leading device axis — pmap semantics, modern mechanism);
 - the conv op is included in the sweep (dead in the reference);
-- bandwidth uses the honest Pallas streaming copy (ops.py);
+- bandwidth uses an honest fused streaming op (ops.py: read + write per pass);
 - OOM -> skip with suggestions, divisibility gates, KeyboardInterrupt salvage
   are all preserved (reference :221-235, :262-265, :698-700).
 """
@@ -19,13 +19,13 @@ from __future__ import annotations
 
 import time
 import traceback
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from jax_tpus_benchmark_physics_simulation_tpu.bench import flops as flops_mod
 from jax_tpus_benchmark_physics_simulation_tpu.bench import ops as ops_mod

@@ -9,7 +9,7 @@ jax_devices.py:10,31).
 from __future__ import annotations
 
 import platform
-from typing import List, Optional
+from typing import List
 
 import jax
 

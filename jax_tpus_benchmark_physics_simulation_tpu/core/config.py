@@ -11,7 +11,7 @@ the code wins, documented in SURVEY.md §6).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

@@ -14,8 +14,7 @@ snapshots are emitted at a configurable stride instead of the full
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.integrators import velocity_v
 from jax_tpus_benchmark_physics_simulation_tpu.ops.observables import (
     kinetic_energy,
     radial_distribution,
-    temperature,
 )
 
 

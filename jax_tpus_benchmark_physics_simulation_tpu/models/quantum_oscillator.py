@@ -16,7 +16,6 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
-from jax import random
 
 from jax_tpus_benchmark_physics_simulation_tpu.core.config import VMCDMCConfig
 from jax_tpus_benchmark_physics_simulation_tpu.mc.dmc import DMCResult, run_dmc

@@ -12,8 +12,6 @@ implementation — no unrolled Python loops; works for any N.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

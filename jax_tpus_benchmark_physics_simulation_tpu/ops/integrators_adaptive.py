@@ -11,7 +11,7 @@ and failures loud (``steps_exceeded`` flag, not silence).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ more than skin/2 from its build-time reference position.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import jax

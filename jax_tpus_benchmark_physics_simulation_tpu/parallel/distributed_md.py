@@ -15,7 +15,7 @@ the ring path is what makes N too big for one chip's HBM tractable.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
