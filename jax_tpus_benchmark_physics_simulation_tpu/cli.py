@@ -71,6 +71,8 @@ def _add_md(sub):
                    choices=["auto", "dense_xla", "dense_pallas", "neighbor", "cell", "grid"])
     p.add_argument("--init", type=str, default="uniform", choices=["uniform", "lattice"])
     p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
 
 
 def _add_nbody(sub):
@@ -188,7 +190,14 @@ def cmd_md(args) -> int:
         f"force: {lj_fluid.resolve_impl(cfg)}  cutoff={cfg.cutoff}",
         title="Molecular Dynamics (TPU-native)",
     )
-    res = lj_fluid.run(cfg, ckpt_dir=getattr(args, "ckpt_dir", None))
+    if getattr(args, "profile", None):
+        from jax_tpus_benchmark_physics_simulation_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            res = lj_fluid.run(cfg, ckpt_dir=getattr(args, "ckpt_dir", None))
+        console.log(f"profiler trace: {args.profile} (view with tensorboard/xprof)")
+    else:
+        res = lj_fluid.run(cfg, ckpt_dir=getattr(args, "ckpt_dir", None))
     console.records_table(
         "Simulation Summary",
         [
