@@ -319,15 +319,28 @@ class GridMD:
             # plain f32 += loses a few percent of every increment; Kahan
             # residuals recover it (measured: 1M-step energy drift drops
             # from growing secularly to tolerance-level).
-            vxh, cvx = self._kadd(s.vxg, s.cvx, 0.5 * dt * s.fxg)
-            vyh, cvy = self._kadd(s.vyg, s.cvy, 0.5 * dt * s.fyg)
+            # compensated == "positions": residuals only on coordinates (the
+            # large-value accumulators); velocity kicks stay plain.
+            pos_only = self.compensated == "positions"
+            if pos_only:
+                vxh = s.vxg + 0.5 * dt * s.fxg
+                vyh = s.vyg + 0.5 * dt * s.fyg
+                cvx = cvy = None
+            else:
+                vxh, cvx = self._kadd(s.vxg, s.cvx, 0.5 * dt * s.fxg)
+                vyh, cvy = self._kadd(s.vyg, s.cvy, 0.5 * dt * s.fyg)
             xg, crx = self._kadd(s.xg, s.crx, dt * vxh)
             yg, cry = self._kadd(s.yg, s.cry, dt * vyh)
             xg = jnp.mod(xg, box) * s.occ
             yg = jnp.mod(yg, box) * s.occ
             fxg, fyg, eg = self.force_kernel(xg, yg, s.occ)
-            vxg, cvx = self._kadd(vxh, cvx, 0.5 * dt * fxg)
-            vyg, cvy = self._kadd(vyh, cvy, 0.5 * dt * fyg)
+            if pos_only:
+                vxg = vxh + 0.5 * dt * fxg
+                vyg = vyh + 0.5 * dt * fyg
+                cvx, cvy = s.cvx, s.cvy
+            else:
+                vxg, cvx = self._kadd(vxh, cvx, 0.5 * dt * fxg)
+                vyg, cvy = self._kadd(vyh, cvy, 0.5 * dt * fyg)
             return s.replace(
                 xg=xg, yg=yg, vxg=vxg, vyg=vyg, fxg=fxg, fyg=fyg, eg=eg,
                 crx=crx, cry=cry, cvx=cvx, cvy=cvy, time=s.time + dt,
