@@ -219,6 +219,17 @@ def cmd_md(args) -> int:
         f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s; "
         f"energy drift: {drift_s}"
     )
+    if res.overflow:
+        console.log(
+            "[WARNING] spatial-structure capacity/skin OVERFLOW was flagged: "
+            "pair interactions may have been missed; results are suspect "
+            "(increase --cutoff skin margin or reduce --dt)."
+        )
+    if res.rdf_subset:
+        console.log(
+            f"note: g(r) estimated from a {res.rdf_subset}-particle random "
+            f"subset of the {cfg.n:,} particles (unbiased, higher variance)."
+        )
     out = plot_rdf(res.rdf_r, res.rdf_g, cfg.n, cfg.rho, cfg.kt, args.output)
     console.log(f"Plot saved: {out}")
     return 0

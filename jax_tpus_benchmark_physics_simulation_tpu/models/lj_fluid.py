@@ -36,6 +36,9 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.observables import (
     kinetic_energy,
     radial_distribution,
 )
+from jax_tpus_benchmark_physics_simulation_tpu.ops.observables.rdf import (
+    _DEFAULT_MAX_PARTICLES as _RDF_MAX_PARTICLES,
+)
 
 
 def init_state(cfg: MDConfig, key: Optional[jax.Array] = None) -> ParticleState:
@@ -231,9 +234,21 @@ def make_energy_fn(cfg: MDConfig):
     return energy
 
 
+def _carry_overflow(carry) -> jax.Array:
+    """Spatial-structure overflow flag of a build_step carry (False for the
+    dense paths, which have no capacity/skin structure to overflow)."""
+    if isinstance(carry, tuple):
+        return carry[1].overflow
+    return jnp.zeros((), bool)
+
+
 @partial(jax.jit, static_argnums=(0,))
-def equilibrate(cfg: MDConfig, state: ParticleState) -> ParticleState:
-    """Device-fused equilibration (reference: molecular_dynamics...:77-83)."""
+def equilibrate(cfg: MDConfig, state: ParticleState):
+    """Device-fused equilibration (reference: molecular_dynamics...:77-83).
+
+    Returns ``(state, overflow)`` — the capacity/skin overflow flag of the
+    underlying spatial structure is carried out, never dropped (silent
+    failure is banned; see CLAUDE.md invariants)."""
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
         k = _grid_inner_steps(cfg, md)
@@ -244,13 +259,17 @@ def equilibrate(cfg: MDConfig, state: ParticleState) -> ParticleState:
             gs = run_steps(chunk, gs, n_chunks)
         if rem:
             gs = md.make_chunk_step(rem)(gs)
-        return state.replace(
-            position=md.positions(gs),
-            velocity=md.velocities(gs),
-            time=state.time + gs.time,
+        return (
+            state.replace(
+                position=md.positions(gs),
+                velocity=md.velocities(gs),
+                time=state.time + gs.time,
+            ),
+            gs.overflow,
         )
     init_fn, step_fn, get_state = build_step(cfg)
-    return get_state(run_steps(step_fn, init_fn(state), cfg.eq_steps))
+    carry = run_steps(step_fn, init_fn(state), cfg.eq_steps)
+    return get_state(carry), _carry_overflow(carry)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -259,8 +278,14 @@ def production(cfg: MDConfig, state: ParticleState):
     (reference: molecular_dynamics...:85-106). Additionally samples kinetic /
     potential energy for the drift regression the reference never had.
 
-    Returns ``(final_state, (r_history, ke_history, pe_history))``.
+    Returns ``(final_state, (r_history, ke_history, pe_history), overflow)``.
     """
+    if cfg.prod_steps and cfg.sample_every > cfg.prod_steps:
+        raise ValueError(
+            f"sample_every ({cfg.sample_every}) > prod_steps ({cfg.prod_steps}): "
+            "production would emit zero samples (empty histories, NaN drift). "
+            "Lower sample_every or raise prod_steps."
+        )
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
         k = _grid_inner_steps(cfg, md)
@@ -284,7 +309,7 @@ def production(cfg: MDConfig, state: ParticleState):
             velocity=md.velocities(gs),
             time=state.time + gs.time,
         )
-        return final, (r_hist, ke_hist, pe_hist)
+        return final, (r_hist, ke_hist, pe_hist), gs.overflow
 
     init_fn, step_fn, get_state = build_step(cfg)
     energy_fn = make_energy_fn(cfg)
@@ -296,7 +321,7 @@ def production(cfg: MDConfig, state: ParticleState):
     final, (r_hist, ke_hist, pe_hist) = run_trajectory(
         step_fn, init_fn(state), cfg.prod_steps, cfg.sample_every, observe_fn=observe
     )
-    return get_state(final), (r_hist, ke_hist, pe_hist)
+    return get_state(final), (r_hist, ke_hist, pe_hist), _carry_overflow(final)
 
 
 def rdf(cfg: MDConfig, r_history: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -318,11 +343,18 @@ class MDResult:
     time_prod_s: float
     time_rdf_s: float
     particle_steps_per_sec: float = 0.0
+    # Capacity/skin overflow from the spatial structure (grid/cell/neighbor):
+    # True means some structural invariant was violated mid-run and the
+    # physics after that point is suspect. Never silently dropped.
+    overflow: bool = False
+    rdf_subset: int = 0  # >0: g(r) was estimated from this many particles
 
     @property
     def energy_drift(self) -> float:
         """Max relative drift of total energy over production samples."""
         e = self.ke_history + self.pe_history
+        if e.shape[0] == 0:
+            return float("nan")
         e0 = e[0]
         return float(jnp.max(jnp.abs(e - e0) / jnp.abs(e0)))
 
@@ -343,6 +375,7 @@ def run(
 
     t0 = time.perf_counter()
     state_eq = None
+    overflow_eq = False
     if ckpt_dir is not None:
         from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
             latest_step,
@@ -352,8 +385,9 @@ def run(
         if latest_step(ckpt_dir) is not None:
             state_eq = restore_checkpoint(ckpt_dir, state)
     if state_eq is None:
-        state_eq = equilibrate(cfg, state)
+        state_eq, overflow_eq = equilibrate(cfg, state)
         _ = float(state_eq.position[0, 0])  # hard sync (see CLAUDE.md)
+        overflow_eq = bool(overflow_eq)
         if ckpt_dir is not None:
             from jax_tpus_benchmark_physics_simulation_tpu.ckpt import save_checkpoint
 
@@ -361,9 +395,19 @@ def run(
     time_eq = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    final, (r_hist, ke_hist, pe_hist) = production(cfg, state_eq)
+    final, (r_hist, ke_hist, pe_hist), overflow_prod = production(cfg, state_eq)
     _ = float(ke_hist[-1])  # hard sync
     time_prod = time.perf_counter() - t0
+    overflow = overflow_eq or bool(overflow_prod)
+    if overflow:
+        import warnings
+
+        warnings.warn(
+            "MD spatial structure reported a capacity/skin overflow: some "
+            "pair interactions may have been missed. Results are suspect — "
+            "increase skin/capacity or reduce dt.",
+            stacklevel=2,
+        )
 
     t0 = time.perf_counter()
     rdf_r, rdf_g = rdf(cfg, r_hist)
@@ -383,5 +427,7 @@ def run(
         particle_steps_per_sec=cfg.n
         * (cfg.eq_steps + cfg.prod_steps)
         / max(time_eq + time_prod, 1e-12),
+        overflow=overflow,
+        rdf_subset=_RDF_MAX_PARTICLES if cfg.n > _RDF_MAX_PARTICLES else 0,
     )
     return res

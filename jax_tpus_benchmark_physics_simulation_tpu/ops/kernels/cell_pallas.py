@@ -2,18 +2,47 @@
 
 Refines the XLA cell-dense path (cell_dense.py): instead of materializing
 (n_cells, C, C) pair blocks in HBM, each Pallas program owns one row of the
-cell grid and computes all 9 neighbor-offset pair blocks entirely in VMEM.
+cell grid and computes all Newton-halved neighbor-offset pair blocks entirely
+in VMEM.
 
 Layout: the cell grid is stored as (ncx, C, ncy_pad) with the *cell-column*
 axis in lanes (padded to 128) and slots in sublanes — so a pair block is a
 (C*C, ncy_pad) 2D array: 256 sublanes x 128+ lanes, exactly what the VPU
-wants. Row adjacency (x +- 1) comes from whole-grid rolls prepared outside
-the kernel; column adjacency (y +- 1) from an in-kernel lane roll with an
-explicit periodic patch at the wrap column (the lane axis is padded, so a
-bare roll would wrap through padding).
+wants.
 
-Per MD step the host-side wrapper does one (N,) scatter in, one (N,) gather
-out; everything else is regular VPU work.
+Design choices that matter for speed (all measured on TPU v5e):
+
+- **No occupancy masks.** Empty slots carry the x-coordinate *sentinel*
+  ``2.5*box`` (grid_md.SENTINEL_FACTOR), so ``0 < r2 < cutoff^2`` rejects
+  every pair involving an empty slot: empty-vs-real is > box/2 away,
+  empty-vs-empty is exactly 0 (or exactly box across the periodic seam
+  adjustments). This removes two operand streams and ~3 VPU ops per
+  pair-element versus the masked variant.
+- **No per-pair minimum-image round.** Between rebuilds a particle stays
+  within one cell of its assigned cell, so pair displacements are already
+  minimal EXCEPT across the periodic seam. The seam is handled once per
+  block: the wrapped neighbor row gets +box added to x (row seam), and the
+  lane-shift wrap column is patched with +-box on y (column seam). The
+  reference's per-pair ``dr - box*round(dr/box)``
+  (molecular_dynamics...:46-48) costs 2 rounds + 2 mul/sub per pair-element;
+  this costs ~nothing.
+- **Single reciprocal.** ``fmag = 24*eps*(2*s12 - s6)/r2`` is algebraically
+  ``(24*eps/sigma^2) * (2*s12 - s6) * (sigma^2/r2)`` — reusing the one
+  ``sigma^2/r2`` divide instead of issuing a second.
+- **Newton's third law.** Each program computes 5 pair blocks instead of 9:
+  the same-cell block (pairs counted once via a<b), the (0,+1) column block
+  (reaction folded back in-row), and three (+1, dy) row blocks whose
+  reactions are written to per-row reaction outputs. ~45% less pair math
+  than the symmetric kernel.
+- **No XLA rolls.** Single-chip mode reads the neighbor row through a second
+  BlockSpec on the *same* input array with index map ``(i+1) % rows``, and
+  writes the reaction row through an output index map ``(i+1) % rows`` — so
+  the caller never materializes rolled copies. (The sharded engine passes
+  explicit halo-built neighbor rows instead; see ``.raw``.)
+
+Interface (``make_grid_force_kernel``): ``(xg, yg) -> (fx, fy)`` totals, or
+``(fx, fy, e)`` with ``with_energy=True`` — all arrays in the
+(ncx, C, ncy_pad) grid layout. No per-particle scatter/gather anywhere.
 """
 
 from __future__ import annotations
@@ -33,192 +62,155 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _shift_wrap(block: jax.Array, dy: int, ncy: int) -> jax.Array:
-    """out[:, j] = block[:, (j + dy) % ncy] on a lane-padded block."""
+def _shift_lane(block: jax.Array, dy: int, ncy: int, delta: float = 0.0) -> jax.Array:
+    """``out[:, j] = block[:, (j + dy) % ncy]`` on a lane-padded block.
+
+    ``delta``: periodic-seam coordinate offset — the wrap column's values get
+    ``+delta`` (dy=+1) / ``-delta`` (dy=-1). Pass ``box`` when shifting the
+    lane-axis *coordinate* (y), 0 for everything else (x, forces, energies).
+    """
     if dy == 0:
         return block
     n_lanes = block.shape[1]
     shifted = pltpu.roll(block, (-dy) % n_lanes, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
     if dy == 1:
-        return jnp.where(col == ncy - 1, block[:, 0:1], shifted)
-    return jnp.where(col == 0, block[:, ncy - 1 : ncy], shifted)
+        return jnp.where(col == ncy - 1, block[:, 0:1] + delta, shifted)
+    return jnp.where(col == 0, block[:, ncy - 1 : ncy] - delta, shifted)
 
 
-def _cell_kernel(
-    xs_ref, xp_ref, xn_ref, ys_ref, yp_ref, yn_ref, os_ref, op_ref, on_ref,
-    fx_ref, fy_ref, e_ref,
-    *, cap, ncy, box, cutoff2, sigma2, epsilon, shift,
+def _newton_kernel(
+    *refs,
+    cap,
+    ncy,
+    box,
+    cutoff2,
+    sigma2,
+    epsilon,
+    shift,
+    n_rows,
+    row_wrap,
+    with_energy,
 ):
+    """Newton's-third-law cell kernel. Ref order:
+    (xs, xn, ys, yn) -> (fx, fy, rfx, rfy[, e, re]).
+
+    ``row_wrap``: single-chip mode — the neighbor row is ``(i+1) % n_rows``
+    of the same grid, so the last program's neighbor sits across the periodic
+    seam and needs +box on x. The sharded engine pre-adjusts its halo row and
+    passes ``row_wrap=False``.
+    """
+    if with_energy:
+        xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref, e_ref, re_ref = refs
+    else:
+        xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref = refs
+        e_ref = re_ref = None
+
     x_self = xs_ref[0]  # (C, ncy_pad)
     y_self = ys_ref[0]
-    o_self = os_ref[0]
-    lanes = x_self.shape[1]
-    kk = (cap * cap, lanes)
-
-    def rep_a(v):  # self coords, a-major: row k = a*C + b holds v[a]
-        return jnp.broadcast_to(v[:, None, :], (cap, cap, lanes)).reshape(kk)
-
-    def rep_b(v):  # partner coords: row k = a*C + b holds v[b]
-        return jnp.broadcast_to(v[None, :, :], (cap, cap, lanes)).reshape(kk)
-
-    x_i = rep_a(x_self)
-    y_i = rep_a(y_self)
-    o_i = rep_a(o_self)
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, kk, 0)
-    a_ids = sub // cap
-    b_ids = sub % cap
-
-    fx_acc = jnp.zeros_like(x_self)
-    fy_acc = jnp.zeros_like(x_self)
-    e_acc = jnp.zeros_like(x_self)
-
-    for xb, yb, ob, is_self_row in (
-        (xp_ref[0], yp_ref[0], op_ref[0], False),
-        (x_self, y_self, o_self, True),
-        (xn_ref[0], yn_ref[0], on_ref[0], False),
-    ):
-        for dy in (-1, 0, 1):
-            x_o = _shift_wrap(xb, dy, ncy)
-            y_o = _shift_wrap(yb, dy, ncy)
-            o_o = _shift_wrap(ob, dy, ncy)
-
-            x_j = rep_b(x_o)
-            y_j = rep_b(y_o)
-            o_j = rep_b(o_o)
-
-            dx = x_i - x_j
-            dx = dx - box * jnp.round(dx * (1.0 / box))
-            dy_ = y_i - y_j
-            dy_ = dy_ - box * jnp.round(dy_ * (1.0 / box))
-            r2 = dx * dx + dy_ * dy_
-
-            valid = (o_i > 0.5) & (o_j > 0.5) & (r2 < cutoff2)
-            if is_self_row and dy == 0:
-                valid = valid & (a_ids != b_ids)
-
-            r2_safe = jnp.where(valid, r2, 1.0)
-            inv_r2 = sigma2 / r2_safe
-            s6 = inv_r2 * inv_r2 * inv_r2
-            s12 = s6 * s6
-            fmag = jnp.where(valid, 24.0 * epsilon * (2.0 * s12 - s6) / r2_safe, 0.0)
-            e_pair = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0)
-
-            # reduce over partner slots b: (C*C, L) -> (C, C, L) -> sum axis 1
-            shape3 = (cap, cap, x_i.shape[1])
-            fx_acc += jnp.sum((fmag * dx).reshape(shape3), axis=1)
-            fy_acc += jnp.sum((fmag * dy_).reshape(shape3), axis=1)
-            e_acc += jnp.sum(e_pair.reshape(shape3), axis=1)
-
-    fx_ref[0] = fx_acc
-    fy_ref[0] = fy_acc
-    e_ref[0] = e_acc
-
-
-def _cell_kernel_newton(
-    xs_ref, xn_ref, ys_ref, yn_ref, os_ref, on_ref,
-    fx_ref, fy_ref, e_ref, rfx_ref, rfy_ref, re_ref,
-    *, cap, ncy, box, cutoff2, sigma2, epsilon, shift,
-):
-    """Newton's-third-law variant: each program computes 5 pair blocks
-    instead of 9 — the same-cell block, the (0,+1) column block (reaction
-    folded back in-row), and the three (+1, dy) row blocks whose reactions
-    are emitted into a per-row reaction buffer that the caller rolls onto
-    row i+1. ~45% less pair compute than the symmetric kernel."""
-    x_self = xs_ref[0]
-    y_self = ys_ref[0]
-    o_self = os_ref[0]
-    lanes = x_self.shape[1]
-    kk = (cap * cap, lanes)
-
-    def rep_a(v):
-        return jnp.broadcast_to(v[:, None, :], (cap, cap, lanes)).reshape(kk)
-
-    def rep_b(v):
-        return jnp.broadcast_to(v[None, :, :], (cap, cap, lanes)).reshape(kk)
-
-    x_i = rep_a(x_self)
-    y_i = rep_a(y_self)
-    o_i = rep_a(o_self)
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, kk, 0)
-    a_ids = sub // cap
-    b_ids = sub % cap
-    shape3 = (cap, cap, lanes)
-
-    def pair(x_o, y_o, o_o, extra_mask=None):
-        """Returns (f_self_x, f_self_y, e_self, r_x, r_y, r_e): forces on the
-        a-side and the (negated-later) reaction sums on the b-side."""
-        x_j = rep_b(x_o)
-        y_j = rep_b(y_o)
-        o_j = rep_b(o_o)
-        dx = x_i - x_j
-        dx = dx - box * jnp.round(dx * (1.0 / box))
-        dy_ = y_i - y_j
-        dy_ = dy_ - box * jnp.round(dy_ * (1.0 / box))
-        r2 = dx * dx + dy_ * dy_
-        valid = (o_i > 0.5) & (o_j > 0.5) & (r2 < cutoff2)
-        if extra_mask is not None:
-            valid = valid & extra_mask
-        r2_safe = jnp.where(valid, r2, 1.0)
-        inv_r2 = sigma2 / r2_safe
-        s6 = inv_r2 * inv_r2 * inv_r2
-        s12 = s6 * s6
-        fmag = jnp.where(valid, 24.0 * epsilon * (2.0 * s12 - s6) / r2_safe, 0.0)
-        e_pair = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0)
-        fxb = (fmag * dx).reshape(shape3)
-        fyb = (fmag * dy_).reshape(shape3)
-        eb = e_pair.reshape(shape3)
-        return (
-            jnp.sum(fxb, axis=1), jnp.sum(fyb, axis=1), jnp.sum(eb, axis=1),
-            jnp.sum(fxb, axis=0), jnp.sum(fyb, axis=0), jnp.sum(eb, axis=0),
-        )
-
-    # (0,0): same cell, count each pair once (a < b), reaction in-block
-    fx, fy, e, rx, ry, re_ = pair(x_self, y_self, o_self, extra_mask=(a_ids < b_ids))
-    fx_acc = fx - rx
-    fy_acc = fy - ry
-    e_acc = e + re_
-
-    # (0,+1): same row, next column; reaction shifted back one column
-    x_o = _shift_wrap(x_self, 1, ncy)
-    y_o = _shift_wrap(y_self, 1, ncy)
-    o_o = _shift_wrap(o_self, 1, ncy)
-    fx, fy, e, rx, ry, re_ = pair(x_o, y_o, o_o)
-    fx_acc += fx
-    fy_acc += fy
-    e_acc += e
-    fx_acc -= _shift_wrap(rx, -1, ncy)
-    fy_acc -= _shift_wrap(ry, -1, ncy)
-    e_acc += _shift_wrap(re_, -1, ncy)
-
-    # (+1, dy): next row; reactions accumulate into the reaction buffer,
-    # expressed in the next row's own lane frame (shift back by dy)
     x_next = xn_ref[0]
     y_next = yn_ref[0]
-    o_next = on_ref[0]
-    rfx_acc = jnp.zeros_like(x_self)
-    rfy_acc = jnp.zeros_like(x_self)
-    re_acc = jnp.zeros_like(x_self)
-    for dy in (-1, 0, 1):
-        x_o = _shift_wrap(x_next, dy, ncy)
-        y_o = _shift_wrap(y_next, dy, ncy)
-        o_o = _shift_wrap(o_next, dy, ncy)
-        fx, fy, e, rx, ry, re_ = pair(x_o, y_o, o_o)
-        fx_acc += fx
-        fy_acc += fy
-        e_acc += e
-        rfx_acc -= _shift_wrap(rx, -dy, ncy)
-        rfy_acc -= _shift_wrap(ry, -dy, ncy)
-        re_acc += _shift_wrap(re_, -dy, ncy)
+    if row_wrap:
+        pid = pl.program_id(0)
+        x_next = x_next + jnp.where(pid == n_rows - 1, box, 0.0).astype(x_next.dtype)
 
-    fx_ref[0] = fx_acc
-    fy_ref[0] = fy_acc
-    e_ref[0] = e_acc
-    rfx_ref[0] = rfx_acc
-    rfy_ref[0] = rfy_acc
-    re_ref[0] = re_acc
+    lanes = x_self.shape[1]
+    kk = (cap * cap, lanes)
+    shape3 = (cap, cap, lanes)
+    fscale = 24.0 * epsilon / sigma2
+
+    def rep_a(v):  # self coords, a-major: row k = a*C + b holds v[a]
+        return jnp.broadcast_to(v[:, None, :], shape3).reshape(kk)
+
+    def rep_b(v):  # partner coords: row k = a*C + b holds v[b]
+        return jnp.broadcast_to(v[None, :, :], shape3).reshape(kk)
+
+    x_i = rep_a(x_self)
+    y_i = rep_a(y_self)
+
+    def pair(x_o, y_o, self_block=False):
+        """Returns per-block (f_a_x, f_a_y, r_b_x, r_b_y[, e_a, e_b]): forces
+        on the a-side plus (to-be-negated) reaction sums on the b-side."""
+        x_j = rep_b(x_o)
+        y_j = rep_b(y_o)
+        dx = x_i - x_j
+        dyy = y_i - y_j
+        r2 = dx * dx + dyy * dyy
+        # r2 > 0 rejects (a) the self pair in the same-cell block and (b)
+        # empty-empty pairs (all empty slots share the x sentinel and y = 0,
+        # so their displacement is exactly zero; across the periodic seam the
+        # +box adjustments make it exactly box — far outside the cutoff).
+        valid = (r2 < cutoff2) & (r2 > 0.0)
+        if self_block:
+            sub = jax.lax.broadcasted_iota(jnp.int32, kk, 0)
+            valid = valid & (sub // cap < sub % cap)  # a < b: each pair once
+        r2s = jnp.where(valid, r2, 1.0)
+        inv = sigma2 / r2s
+        s6 = inv * inv * inv
+        s12 = s6 * s6
+        fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
+        fxb = (fmag * dx).reshape(shape3)
+        fyb = (fmag * dyy).reshape(shape3)
+        out = [
+            jnp.sum(fxb, axis=1),
+            jnp.sum(fyb, axis=1),
+            jnp.sum(fxb, axis=0),
+            jnp.sum(fyb, axis=0),
+        ]
+        if with_energy:
+            eb = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0).reshape(shape3)
+            out += [jnp.sum(eb, axis=1), jnp.sum(eb, axis=0)]
+        return out
+
+    # (0,0): same cell, each pair counted once (a < b), reaction in-block
+    out = pair(x_self, y_self, self_block=True)
+    fx_acc = out[0] - out[2]
+    fy_acc = out[1] - out[3]
+    if with_energy:
+        e_acc = out[4] + out[5]
+
+    # (0,+1): same row, next column; reaction shifted back one column
+    out = pair(
+        _shift_lane(x_self, 1, ncy), _shift_lane(y_self, 1, ncy, box)
+    )
+    fx_acc += out[0] - _shift_lane(out[2], -1, ncy)
+    fy_acc += out[1] - _shift_lane(out[3], -1, ncy)
+    if with_energy:
+        e_acc += out[4] + _shift_lane(out[5], -1, ncy)
+
+    # (+1, dy): next row; reactions accumulate into the per-row reaction
+    # outputs, expressed in the next row's own lane frame (shift back by dy)
+    rfx_acc = None
+    for dy in (-1, 0, 1):
+        out = pair(
+            _shift_lane(x_next, dy, ncy), _shift_lane(y_next, dy, ncy, box)
+        )
+        fx_acc += out[0]
+        fy_acc += out[1]
+        rx = _shift_lane(out[2], -dy, ncy)
+        ry = _shift_lane(out[3], -dy, ncy)
+        if rfx_acc is None:
+            rfx_acc, rfy_acc = -rx, -ry
+        else:
+            rfx_acc -= rx
+            rfy_acc -= ry
+        if with_energy:
+            e_acc += out[4]
+            re = _shift_lane(out[5], -dy, ncy)
+            re_acc = re if dy == -1 else re_acc + re
+
+    # Zero the padding lanes: the lane shifts duplicate the wrap-column
+    # values into lane ``ncy`` (the roll moves them there; only the wrap
+    # column is patched), which would put phantom forces on sentinel slots.
+    live = jax.lax.broadcasted_iota(jnp.int32, fx_acc.shape, 1) < ncy
+    zero = jnp.zeros_like(fx_acc)
+    fx_ref[0] = jnp.where(live, fx_acc, zero)
+    fy_ref[0] = jnp.where(live, fy_acc, zero)
+    rfx_ref[0] = jnp.where(live, rfx_acc, zero)
+    rfy_ref[0] = jnp.where(live, rfy_acc, zero)
+    if with_energy:
+        e_ref[0] = jnp.where(live, e_acc, zero)
+        re_ref[0] = jnp.where(live, re_acc, zero)
 
 
 def make_grid_force_kernel(
@@ -226,21 +218,29 @@ def make_grid_force_kernel(
     sigma: float = 1.0,
     epsilon: float = 1.0,
     interpret: Optional[bool] = None,
-    newton: bool = True,
     n_rows: Optional[int] = None,
+    with_energy: bool = False,
 ):
-    """Grid-level entry point: ``(xg, yg, occ) -> (fxg, fyg, eg)`` where all
-    arrays have the (ncx, C, ncy_pad) cell-grid layout. Used directly by the
-    grid-resident MD engine (grid_md.py) — no per-particle scatter/gather.
+    """Grid-level entry point: ``(xg, yg) -> (fx, fy)`` (or ``(fx, fy, e)``)
+    where all arrays have the (ncx, C, ncy_pad) cell-grid layout with
+    x-sentinels at empty slots (grid_md.sentinel_flat). Forces/energies are
+    reaction-folded totals. Used directly by the grid-resident MD engine
+    (grid_md.py) — no per-particle scatter/gather, no rolled copies.
 
     ``n_rows``: number of cell rows the call operates on (default: the full
     grid). The sharded engine passes the per-device row count and uses the
-    attached ``.raw(xs, xn, ys, yn, os, on)`` (Newton mode), supplying
-    halo-built next-row arrays itself; ``.raw`` returns
-    ``(fx, fy, e, rfx, rfy, re)`` with the reaction buffer UNSHIFTED (row i
-    holds the reaction destined for row i+1 — the caller owns the shift,
-    which crosses device boundaries when sharded)."""
-    assert grid_fn.dim == 2, "Pallas cell kernel is 2D; use cell_dense for 3D"
+    attached ``.raw(xs, xn, ys, yn)``, supplying halo-built neighbor-row
+    arrays itself (with the periodic +box x-adjustment applied on the seam
+    device); ``.raw`` returns ``(fx, fy, rfx, rfy[, e, re])`` with the
+    reaction rows UNSHIFTED (row i holds the reaction destined for row i+1 —
+    the caller owns the shift, which crosses device boundaries when sharded).
+
+    Replaces the physics of the reference's dense O(N^2) pair matrix
+    (molecular_dynamics_jax_single-host_workload.py:50-62) at O(N) with
+    identical pair math — cross-checked against the dense oracle in
+    tests/test_grid_md.py.
+    """
+    assert grid_fn.dim == 2, "Pallas cell kernel is 2D; use grid_md3 for 3D"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -253,6 +253,7 @@ def make_grid_force_kernel(
     ncy_pad = _round_up(cps, 128)
     sc6 = (sigma / cutoff) ** 6
     shift = 4.0 * epsilon * (sc6 * sc6 - sc6)
+    rows = cps if n_rows is None else n_rows
     params = dict(
         cap=cap,
         ncy=cps,
@@ -261,117 +262,59 @@ def make_grid_force_kernel(
         sigma2=float(sigma) ** 2,
         epsilon=float(epsilon),
         shift=float(shift),
+        n_rows=rows,
+        with_energy=with_energy,
     )
+    n_out = 6 if with_energy else 4
 
-    rows = cps if n_rows is None else n_rows
-    block = pl.BlockSpec((1, cap, ncy_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    def block(index_map):
+        return pl.BlockSpec((1, cap, ncy_pad), index_map, memory_space=pltpu.VMEM)
+
+    self_blk = block(lambda i: (i, 0, 0))
+    next_blk = block(lambda i: ((i + 1) % rows, 0, 0))
     grid = (rows,)
     out_struct = jax.ShapeDtypeStruct((rows, cap, ncy_pad), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=rows * 5 * cap * cap * ncy_pad * 22,
+        bytes_accessed=(4 + n_out) * rows * cap * ncy_pad * 4,
+        transcendentals=0,
+    )
 
-    if newton:
-        kernel = functools.partial(_cell_kernel_newton, **params)
-
-        def raw(xs, xn, ys, yn, os_, on_):
-            return pl.pallas_call(
-                kernel,
-                grid=grid,
-                in_specs=[block] * 6,
-                out_specs=[block] * 6,
-                out_shape=[out_struct] * 6,
-                interpret=interpret,
-                cost_estimate=pl.CostEstimate(
-                    flops=rows * 5 * cap * cap * ncy_pad * 30,
-                    bytes_accessed=12 * rows * cap * ncy_pad * 4,
-                    transcendentals=0,
-                ),
-            )(xs, xn, ys, yn, os_, on_)
-
-        def grid_force(xg, yg, og):
-            xn = jnp.roll(xg, -1, axis=0)
-            yn = jnp.roll(yg, -1, axis=0)
-            on_ = jnp.roll(og, -1, axis=0)
-            fx, fy, e, rfx, rfy, re_ = raw(xg, xn, yg, yn, og, on_)
-            # reaction buffer of row i applies to row i+1
-            fx = fx + jnp.roll(rfx, 1, axis=0)
-            fy = fy + jnp.roll(rfy, 1, axis=0)
-            e = e + jnp.roll(re_, 1, axis=0)
-            return fx, fy, e
-
-        grid_force.raw = raw
-        return grid_force
-
-    kernel = functools.partial(_cell_kernel, **params)
-
-    def grid_force(xg, yg, og):
-        xp, xn = jnp.roll(xg, 1, axis=0), jnp.roll(xg, -1, axis=0)
-        yp, yn = jnp.roll(yg, 1, axis=0), jnp.roll(yg, -1, axis=0)
-        op_, on_ = jnp.roll(og, 1, axis=0), jnp.roll(og, -1, axis=0)
+    def build(row_wrap, shifted):
+        """``shifted``: single-chip mode — neighbor rows are read from the
+        same input array via the (i+1)%rows index map and reaction rows land
+        directly at their destination row via the output index map, so the
+        caller never materializes rolled copies. Raw (sharded) mode passes
+        explicit neighbor arrays and receives unshifted reactions."""
+        kernel = functools.partial(_newton_kernel, row_wrap=row_wrap, **params)
+        n_blk = next_blk if shifted else self_blk
+        out_specs = [self_blk, self_blk, n_blk, n_blk]
+        if with_energy:
+            out_specs += [self_blk, n_blk]
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[block] * 9,
-            out_specs=[block] * 3,
-            out_shape=[out_struct] * 3,
+            in_specs=[self_blk, n_blk, self_blk, n_blk],
+            out_specs=out_specs,
+            out_shape=[out_struct] * n_out,
             interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=cps * 9 * cap * cap * ncy_pad * 30,
-                bytes_accessed=9 * cps * cap * ncy_pad * 4,
-                transcendentals=0,
-            ),
-        )(xg, xp, xn, yg, yp, yn, og, op_, on_)
-
-    return grid_force
-
-
-def make_lj_force_cell_pallas(
-    grid_fn: CellGridFn,
-    sigma: float = 1.0,
-    epsilon: float = 1.0,
-    interpret: Optional[bool] = None,
-    with_energy: bool = False,
-):
-    """Returns ``force_fn(R, assign) -> F`` (or ``(F, E_total)``) over the
-    CellGridFn/CellAssignment machinery of cell_dense.py — same physics as
-    ``LennardJones(box, cutoff)``, cross-checked in tests/test_cell_dense.py.
-    2D only (the reference MD workload is 2D, molecular_dynamics...:15)."""
-    cps, cap = grid_fn.cells_per_side, grid_fn.capacity
-    ncy_pad = _round_up(cps, 128)
-    grid_force = make_grid_force_kernel(grid_fn, sigma, epsilon, interpret)
-
-    def force_fn(position: jax.Array, assign):
-        n = position.shape[0]
-        slot = assign.slot  # layout: (cx * cps + cy) * cap + a  (cell_dense.build)
-        cell_id = slot // cap
-        a = slot % cap
-        cx = cell_id // cps
-        cy = cell_id % cps
-        slot2 = (cx * cap + a) * ncy_pad + cy
-
-        size = cps * cap * ncy_pad
-        dtype = position.dtype
-        xg = jnp.zeros((size,), dtype).at[slot2].set(position[:, 0])
-        yg = jnp.zeros((size,), dtype).at[slot2].set(position[:, 1])
-        og = jnp.zeros((size,), dtype).at[slot2].set(1.0)
-        xg = xg.reshape(cps, cap, ncy_pad)
-        yg = yg.reshape(cps, cap, ncy_pad)
-        og = og.reshape(cps, cap, ncy_pad)
-
-        fx, fy, e = grid_force(xg, yg, og)
-        f = jnp.stack(
-            [fx.reshape(-1)[slot2], fy.reshape(-1)[slot2]], axis=1
+            cost_estimate=cost,
         )
+
+    fused_call = build(row_wrap=True, shifted=True)
+
+    def grid_force(xg, yg):
+        out = fused_call(xg, xg, yg, yg)
+        fx = out[0] + out[2]
+        fy = out[1] + out[3]
         if with_energy:
-            return f, 0.5 * jnp.sum(e.reshape(-1)[slot2])
-        return f
+            return fx, fy, out[4] + out[5]
+        return fx, fy
 
-    if with_energy:
-        return force_fn
+    raw_call = build(row_wrap=False, shifted=False)
 
-    def energy_fn(position: jax.Array, assign):
-        fe = make_lj_force_cell_pallas(
-            grid_fn, sigma, epsilon, interpret, with_energy=True
-        )
-        return fe(position, assign)[1]
+    def raw(xs, xn, ys, yn):
+        return tuple(raw_call(xs, xn, ys, yn))
 
-    force_fn.energy = energy_fn
-    return force_fn
+    grid_force.raw = raw
+    return grid_force

@@ -6,16 +6,32 @@ physics. This engine therefore keeps ALL particle state (positions,
 velocities, forces, particle ids) permanently in the cell-grid layout
 ``(ncx, C, ncy_pad)`` used by the Pallas cell kernel (cell_pallas.py):
 
-- the velocity-Verlet update is pure elementwise work on grids;
-- forces come from the Pallas cell kernel reading the grids directly;
-- cell re-binning (an argsort + scatter permutation, grid -> grid) happens
-  only when some particle has moved more than skin/2 — every ~10-50 steps —
-  and is the ONLY gather/scatter in the whole run;
+- the velocity-Verlet update is pure elementwise work on grids, run in
+  *leapfrog form* inside windows (one kick per step instead of two
+  half-kicks; half-kick in / half-unkick out at window boundaries) so each
+  inner step is exactly one fused elementwise pass + one Pallas force call;
+- forces come from the Pallas cell kernel reading the grids directly — no
+  rolled neighbor copies (BlockSpec index maps), no occupancy masks (empty
+  slots hold the x sentinel ``SENTINEL_FACTOR*box``), no per-pair
+  minimum-image rounds (periodic seams handled per block), no energy math
+  in the hot loop (energy is computed on demand at sampling points);
+- positions are NOT wrapped per step: between rebuilds a particle drifts at
+  most skin/2 outside [0, box), which the seam-free pair math handles
+  exactly; coordinates are wrapped once per rebuild;
+- the skin monitor is a pair of displacement accumulators (``dispx/dispy``,
+  reset at rebuild) plus a per-slot running max — one cheap fused
+  elementwise op per step and a single reduction per window, replacing a
+  per-step global max-reduce over min-imaged differences;
+- cell re-binning (grid -> grid permutation) happens only when some particle
+  has moved more than a skin fraction — every ~10-50 steps — and is the
+  ONLY gather/scatter in the whole run;
 - particle order is recovered on demand (sampling/export) via the carried
   particle-id grid.
 
 Unit masses (the reference MD has no per-particle masses,
-molecular_dynamics...:66-75).
+molecular_dynamics...:66-75). The physics is the reference's LJ 6-12 with
+velocity Verlet (molecular_dynamics...:50-75) plus the cutoff structure it
+lacks; parity vs the dense oracle is asserted in tests/test_grid_md.py.
 """
 
 from __future__ import annotations
@@ -32,10 +48,21 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas import (
     make_grid_force_kernel,
 )
 
+# Empty grid slots store x = SENTINEL_FACTOR * box (y = 0). Together with the
+# kernel's ``0 < r2 < cutoff^2`` validity test this excludes every pair that
+# touches an empty slot without occupancy masks — see cell_pallas.py.
+SENTINEL_FACTOR = 2.5
+
 
 @struct.dataclass
 class GridMDState:
-    """All arrays have grid shape (ncx, C, ncy_pad)."""
+    """All (ncx, C, ncy_pad)-shaped leaves live permanently on device.
+
+    ``fxg/fyg`` hold the TOTAL force (reaction-folded). ``dispx/dispy``
+    accumulate per-slot displacement since the last rebuild (the Verlet-skin
+    monitor; exact mirrors of the applied position increments, so no
+    minimum-image arithmetic is ever needed on them).
+    """
 
     xg: jax.Array
     yg: jax.Array
@@ -43,11 +70,11 @@ class GridMDState:
     vyg: jax.Array
     fxg: jax.Array
     fyg: jax.Array
-    eg: jax.Array  # per-slot potential energy (pair-sum halves applied at read)
     occ: jax.Array  # float 1.0/0.0
     pid: jax.Array  # int32 particle id, sentinel -1
-    ref_xg: jax.Array  # positions at last rebuild (for skin check)
-    ref_yg: jax.Array
+    dispx: jax.Array  # displacement since last rebuild
+    dispy: jax.Array
+    dmax2: jax.Array  # scalar: running max of dispx^2+dispy^2 since rebuild
     overflow: jax.Array  # bool
     time: jax.Array
     # Kahan compensation residuals (compensated=True): kill the f32 random
@@ -71,7 +98,7 @@ class GridMD:
         interpret: Optional[bool] = None,
         compensated: bool = False,
     ):
-        assert grid_fn.dim == 2, "grid-resident MD is 2D"
+        assert grid_fn.dim == 2, "grid-resident MD is 2D (grid_md3 covers 3D)"
         self.compensated = compensated
         self.grid_fn = grid_fn
         self.cps = grid_fn.cells_per_side
@@ -81,10 +108,16 @@ class GridMD:
         self.skin = grid_fn.skin
         self.n = grid_fn.n
         self.dt = dt
+        self.sentinel = SENTINEL_FACTOR * float(grid_fn.box)
         self.grid_shape = (self.cps, self.cap, self.lanes)
         self.size = self.cps * self.cap * self.lanes
+        # hot-path kernel: forces only; energy kernel: built the same way,
+        # called only at sampling points (potential_energy).
         self.force_kernel = make_grid_force_kernel(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret
+        )
+        self.energy_kernel = make_grid_force_kernel(
+            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret, with_energy=True
         )
 
     # -- layout helpers ------------------------------------------------------
@@ -116,27 +149,30 @@ class GridMD:
 
     def init(self, position: jax.Array, velocity: jax.Array) -> GridMDState:
         slot2, overflow = self._slot2(position)
-        z = jnp.zeros((self.size,), position.dtype)
+        dtype = position.dtype
 
-        def put(v):
+        def put(v, fill=0.0):
+            z = jnp.full((self.size,), fill, dtype)
             return z.at[slot2].set(v).reshape(self.grid_shape)
 
-        xg, yg = put(position[:, 0]), put(position[:, 1])
+        xg = put(position[:, 0], fill=self.sentinel)
+        yg = put(position[:, 1])
         vxg, vyg = put(velocity[:, 0]), put(velocity[:, 1])
-        occ = put(jnp.ones((self.n,), position.dtype))
+        occ = put(jnp.ones((self.n,), dtype))
         pid = (
             jnp.full((self.size,), -1, jnp.int32)
             .at[slot2]
             .set(jnp.arange(self.n, dtype=jnp.int32))
             .reshape(self.grid_shape)
         )
-        fxg, fyg, eg = self.force_kernel(xg, yg, occ)
-        zg = jnp.zeros(self.grid_shape, position.dtype)
+        fxg, fyg = self.force_kernel(xg, yg)
+        zg = jnp.zeros(self.grid_shape, dtype)
         comp = dict(crx=zg, cry=zg, cvx=zg, cvy=zg) if self.compensated else {}
         return GridMDState(
-            xg=xg, yg=yg, vxg=vxg, vyg=vyg, fxg=fxg, fyg=fyg, eg=eg,
-            occ=occ, pid=pid, ref_xg=xg, ref_yg=yg,
-            overflow=overflow, time=jnp.zeros((), position.dtype),
+            xg=xg, yg=yg, vxg=vxg, vyg=vyg, fxg=fxg, fyg=fyg,
+            occ=occ, pid=pid, dispx=zg, dispy=zg,
+            dmax2=jnp.zeros((), dtype),
+            overflow=overflow, time=jnp.zeros((), dtype),
             **comp,
         )
 
@@ -149,18 +185,25 @@ class GridMD:
         argsort — measured 79 ms for the sort-based rebuild at N=100k on
         v5e vs ~5 ms for this). A particle that somehow moved further than
         one cell raises ``overflow`` (and is kept in place — loud, not
-        silent)."""
+        silent). Coordinates are wrapped back into [0, box) here (the only
+        place they ever are) and empty slots re-filled with the sentinel."""
         cps, cap, lanes, box = self.cps, self.cap, self.lanes, self.box
         gs = self.grid_shape
         occ_b = s.occ > 0.5
+
+        # wrap coordinates periodically (unwrapped drift < skin/2 since the
+        # last rebuild); sentinel slots produce garbage here but are gated by
+        # occ_b everywhere below and re-filled by scat.
+        xw = jnp.mod(s.xg, box)
+        yw = jnp.mod(s.yg, box)
 
         # current cell coords of each slot (by construction of the layout)
         cx = jax.lax.broadcasted_iota(jnp.int32, gs, 0)
         cy = jax.lax.broadcasted_iota(jnp.int32, gs, 2)
         # target cell coords from positions
         cell = box / cps
-        txc = jnp.clip((s.xg // cell).astype(jnp.int32), 0, cps - 1)
-        tyc = jnp.clip((s.yg // cell).astype(jnp.int32), 0, cps - 1)
+        txc = jnp.clip((xw // cell).astype(jnp.int32), 0, cps - 1)
+        tyc = jnp.clip((yw // cell).astype(jnp.int32), 0, cps - 1)
         # migration direction in {-1, 0, 1} with periodic wrap
         dxc = (txc - cx + 1 + cps) % cps - 1
         dyc = (tyc - cy + 1 + cps) % cps - 1
@@ -212,29 +255,46 @@ class GridMD:
         dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
         dest_flat = dest.reshape(-1)
 
-        def scat(v, fill=0.0, dtype=None):
-            out = jnp.full((self.size + 1,), fill, dtype or v.dtype)
-            return out.at[dest_flat].set(v.reshape(-1), mode="drop")[: self.size].reshape(gs)
+        # ONE packed row-scatter instead of one element-scatter per field:
+        # TPU scatters are descriptor-serial per index, so moving all F
+        # fields per index amortizes that fixed cost F-fold (measured ~6x
+        # faster rebuild at N=100k). pid rides along as f32 — exact for
+        # n < 2^24.
+        assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
+        dtype = s.xg.dtype
+        fields = [xw, yw, s.vxg, s.vyg, s.fxg, s.fyg, s.occ,
+                  s.pid.astype(dtype)]
+        fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
+        if s.crx is not None:
+            fields += [s.crx, s.cry, s.cvx, s.cvy]
+            fills += [0.0, 0.0, 0.0, 0.0]
+        vals = jnp.stack([v.reshape(-1) for v in fields], axis=-1)  # (size, F)
+        base = jnp.broadcast_to(
+            jnp.asarray(fills, dtype), (self.size + 1, len(fields))
+        )
+        out = base.at[dest_flat].set(vals, mode="drop", unique_indices=True)
 
-        xg = scat(s.xg)
-        yg = scat(s.yg)
+        def take(k):
+            return out[: self.size, k].reshape(gs)
+
+        zg = jnp.zeros(gs, dtype)
         comp = (
-            dict(crx=scat(s.crx), cry=scat(s.cry), cvx=scat(s.cvx), cvy=scat(s.cvy))
+            dict(crx=take(8), cry=take(9), cvx=take(10), cvy=take(11))
             if s.crx is not None
             else {}
         )
         return s.replace(
-            xg=xg,
-            yg=yg,
-            vxg=scat(s.vxg),
-            vyg=scat(s.vyg),
-            fxg=scat(s.fxg),
-            fyg=scat(s.fyg),
-            eg=scat(s.eg),
-            occ=scat(s.occ),
-            pid=scat(s.pid, fill=-1, dtype=jnp.int32),
-            ref_xg=xg,
-            ref_yg=yg,
+            xg=take(0),
+            yg=take(1),
+            vxg=take(2),
+            vyg=take(3),
+            fxg=take(4),
+            fyg=take(5),
+            occ=take(6),
+            pid=take(7).astype(jnp.int32),
+            dispx=zg,
+            dispy=zg,
+            dmax2=jnp.zeros((), dtype),
             overflow=overflow,
             **comp,
         )
@@ -242,9 +302,9 @@ class GridMD:
     # -- rebuild (grid -> grid permutation, sort-based oracle) ---------------
     def _rebuild(self, s: GridMDState) -> GridMDState:
         cps, cap, lanes = self.cps, self.cap, self.lanes
-        x = s.xg.reshape(-1)
-        y = s.yg.reshape(-1)
         occ = s.occ.reshape(-1)
+        x = jnp.mod(s.xg, self.box).reshape(-1)
+        y = jnp.mod(s.yg, self.box).reshape(-1)
         n_cells = cps * cps
 
         cxi = jnp.clip((x // (self.box / cps)).astype(jnp.int32), 0, cps - 1)
@@ -268,37 +328,36 @@ class GridMD:
             out = jnp.full((self.size,), fill, dtype or v.dtype)
             return out.at[new_slot].set(vv, mode="drop").reshape(self.grid_shape)
 
-        xg = scat(s.xg)
-        yg = scat(s.yg)
+        zg = jnp.zeros(self.grid_shape, s.xg.dtype)
         comp = (
             dict(crx=scat(s.crx), cry=scat(s.cry), cvx=scat(s.cvx), cvy=scat(s.cvy))
             if s.crx is not None
             else {}
         )
         return s.replace(
-            xg=xg,
-            yg=yg,
+            xg=scat(x.reshape(self.grid_shape), fill=self.sentinel),
+            yg=scat(y.reshape(self.grid_shape)),
             vxg=scat(s.vxg),
             vyg=scat(s.vyg),
             fxg=scat(s.fxg),
             fyg=scat(s.fyg),
-            eg=scat(s.eg),
             occ=scat(s.occ),
             pid=scat(s.pid, fill=-1, dtype=jnp.int32),
-            ref_xg=xg,
-            ref_yg=yg,
+            dispx=zg,
+            dispy=zg,
+            dmax2=jnp.zeros((), s.xg.dtype),
             overflow=overflow,
             **comp,
         )
 
     def _needs_rebuild(self, s: GridMDState, frac: float = 0.5) -> jax.Array:
-        box = self.box
-        dx = s.xg - s.ref_xg
-        dx = dx - box * jnp.round(dx / box)
-        dy = s.yg - s.ref_yg
-        dy = dy - box * jnp.round(dy / box)
-        d2 = (dx * dx + dy * dy) * s.occ
-        return jnp.max(d2) > (frac * self.skin) ** 2
+        """Gate on the scalar displacement max maintained by the windows
+        (no grid-wide reduce here). ``dmax2`` is the running max within the
+        last window started from the then-current displacement — slightly
+        conservative versus an exact current-displacement check, never
+        unsafe (peaks were checked against the violation threshold when they
+        happened)."""
+        return s.dmax2 > (frac * self.skin) ** 2
 
     # -- MD step ---------------------------------------------------------------
     @staticmethod
@@ -309,57 +368,82 @@ class GridMD:
         c = (t - x) - y
         return t, c
 
-    def step_nocheck(self, s: GridMDState) -> GridMDState:
-        """One velocity-Verlet step with NO rebuild logic — pure elementwise +
-        force kernel. Only valid inside :meth:`make_chunk_step` windows."""
-        dt, box = self.dt, self.box
-        if self.compensated:
-            # Compensated updates: per-step increments (dt*v ~ 1e-3) are
-            # ~5 decimal digits below the coordinate scale (box ~ 350), so
-            # plain f32 += loses a few percent of every increment; Kahan
-            # residuals recover it (measured: 1M-step energy drift drops
-            # from growing secularly to tolerance-level).
-            # compensated == "positions": residuals only on coordinates (the
-            # large-value accumulators); velocity kicks stay plain.
-            pos_only = self.compensated == "positions"
-            if pos_only:
-                vxh = s.vxg + 0.5 * dt * s.fxg
-                vyh = s.vyg + 0.5 * dt * s.fyg
-                cvx = cvy = None
-            else:
-                vxh, cvx = self._kadd(s.vxg, s.cvx, 0.5 * dt * s.fxg)
-                vyh, cvy = self._kadd(s.vyg, s.cvy, 0.5 * dt * s.fyg)
-            xg, crx = self._kadd(s.xg, s.crx, dt * vxh)
-            yg, cry = self._kadd(s.yg, s.cry, dt * vyh)
-            xg = jnp.mod(xg, box) * s.occ
-            yg = jnp.mod(yg, box) * s.occ
-            fxg, fyg, eg = self.force_kernel(xg, yg, s.occ)
-            if pos_only:
-                vxg = vxh + 0.5 * dt * fxg
-                vyg = vyh + 0.5 * dt * fyg
-                cvx, cvy = s.cvx, s.cvy
-            else:
-                vxg, cvx = self._kadd(vxh, cvx, 0.5 * dt * fxg)
-                vyg, cvy = self._kadd(vyh, cvy, 0.5 * dt * fyg)
-            return s.replace(
-                xg=xg, yg=yg, vxg=vxg, vyg=vyg, fxg=fxg, fyg=fyg, eg=eg,
-                crx=crx, cry=cry, cvx=cvx, cvy=cvy, time=s.time + dt,
+    def _make_window(self, force_fn, n_inner: int, reduce_max=None):
+        """Leapfrog window: ``window(s) -> s`` advancing ``n_inner``
+        velocity-Verlet steps with ONE force call and ONE fused elementwise
+        pass per step (kick+drift merged; half-kick in / half-unkick out at
+        the window boundary — algebraically identical to per-step
+        kick-drift-kick). The per-slot running max of the displacement
+        accumulators implements the skin-violation monitor: if any particle
+        exceeded skin/2 mid-window (a pair could have entered the cutoff
+        unseen) the state's ``overflow`` flag is raised — loud post-hoc
+        detection, same contract as capacity overflow. (The reference has no
+        such guard at all.)
+
+        ``force_fn(x, y) -> (fx, fy)`` returns reaction-folded totals;
+        ``reduce_max`` post-processes the scalar displacement max (the
+        sharded engine passes a pmax)."""
+        dt = self.dt
+        comp = bool(self.compensated)
+        pos_only = self.compensated == "positions"
+        kadd = self._kadd
+        if reduce_max is None:
+            reduce_max = lambda v: v
+
+        def window(s: GridMDState) -> GridMDState:
+            vhx = s.vxg + 0.5 * dt * s.fxg
+            vhy = s.vyg + 0.5 * dt * s.fyg
+            dm0 = s.dispx * s.dispx + s.dispy * s.dispy
+            carry = (
+                s.xg, s.yg, s.crx, s.cry, vhx, vhy, s.cvx, s.cvy,
+                s.dispx, s.dispy, dm0, s.fxg, s.fyg,
             )
-        vxh = s.vxg + 0.5 * dt * s.fxg
-        vyh = s.vyg + 0.5 * dt * s.fyg
-        xg = jnp.mod(s.xg + dt * vxh, box) * s.occ
-        yg = jnp.mod(s.yg + dt * vyh, box) * s.occ
-        fxg, fyg, eg = self.force_kernel(xg, yg, s.occ)
-        return s.replace(
-            xg=xg,
-            yg=yg,
-            vxg=vxh + 0.5 * dt * fxg,
-            vyg=vyh + 0.5 * dt * fyg,
-            fxg=fxg,
-            fyg=fyg,
-            eg=eg,
-            time=s.time + dt,
-        )
+
+            def body(i, c):
+                x, y, crx, cry, vhx, vhy, cvx, cvy, dpx, dpy, dm, fx, fy = c
+                incx = dt * vhx
+                incy = dt * vhy
+                if comp:
+                    x, crx = kadd(x, crx, incx)
+                    y, cry = kadd(y, cry, incy)
+                else:
+                    x = x + incx
+                    y = y + incy
+                dpx = dpx + incx
+                dpy = dpy + incy
+                dm = jnp.maximum(dm, dpx * dpx + dpy * dpy)
+                fx, fy = force_fn(x, y)
+                if comp and not pos_only:
+                    vhx, cvx = kadd(vhx, cvx, dt * fx)
+                    vhy, cvy = kadd(vhy, cvy, dt * fy)
+                else:
+                    vhx = vhx + dt * fx
+                    vhy = vhy + dt * fy
+                return (x, y, crx, cry, vhx, vhy, cvx, cvy, dpx, dpy, dm, fx, fy)
+
+            c = jax.lax.fori_loop(0, n_inner, body, carry)
+            x, y, crx, cry, vhx, vhy, cvx, cvy, dpx, dpy, dm, fx, fy = c
+            dmax2 = reduce_max(jnp.max(dm))
+            violation = dmax2 > (0.5 * self.skin) ** 2
+            return s.replace(
+                xg=x, yg=y,
+                vxg=vhx - 0.5 * dt * fx,
+                vyg=vhy - 0.5 * dt * fy,
+                fxg=fx, fyg=fy,
+                crx=crx, cry=cry, cvx=cvx, cvy=cvy,
+                dispx=dpx, dispy=dpy,
+                dmax2=dmax2,
+                overflow=s.overflow | violation,
+                time=s.time + n_inner * dt,
+            )
+
+        return window
+
+    def step_nocheck(self, s: GridMDState) -> GridMDState:
+        """One velocity-Verlet step with NO rebuild logic (single-step window).
+        Only valid inside rebuild-gated windows; prefer
+        :meth:`make_chunk_step` for long runs."""
+        return self._make_window(self.force_kernel, 1)(s)
 
     def step(self, s: GridMDState) -> GridMDState:
         """Single step with a per-step displacement-gated rebuild. Correct for
@@ -370,38 +454,16 @@ class GridMD:
 
     def make_chunk_step(self, n_inner: int):
         """Returns ``chunk(s) -> s`` advancing ``n_inner`` steps with a single
-        (conditional) rebuild up front and a branch-free inner loop.
-
-        Safety: every inner step tracks the exact max displacement from the
-        rebuild reference; if any particle exceeded skin/2 mid-window (a pair
-        could have entered the cutoff unseen), the state's ``overflow`` flag
-        is raised — loud post-hoc detection, same contract as capacity
-        overflow. (The reference has no such guard at all.)
-        """
-        skin, box = self.skin, self.box
+        (conditional) rebuild up front and a branch-free leapfrog window.
+        Rebuilds at quarter-skin so the window that follows has half the skin
+        margin left before a true (flagged) violation at skin/2."""
+        window = self._make_window(self.force_kernel, n_inner)
 
         def chunk(s: GridMDState) -> GridMDState:
-            # Rebuild at quarter-skin so the window that follows has half the
-            # skin margin left before a true (flagged) violation at skin/2.
             s = jax.lax.cond(
                 self._needs_rebuild(s, frac=0.25), self._rebuild_migrate, lambda t: t, s
             )
-
-            def inner(i, carry):
-                s, dmax2 = carry
-                s = self.step_nocheck(s)
-                dx = s.xg - s.ref_xg
-                dx = dx - box * jnp.round(dx / box)
-                dy = s.yg - s.ref_yg
-                dy = dy - box * jnp.round(dy / box)
-                d2 = jnp.max((dx * dx + dy * dy) * s.occ)
-                return s, jnp.maximum(dmax2, d2)
-
-            s, dmax2 = jax.lax.fori_loop(
-                0, n_inner, inner, (s, jnp.zeros((), s.xg.dtype))
-            )
-            violation = dmax2 > (0.5 * skin) ** 2
-            return s.replace(overflow=s.overflow | violation)
+            return window(s)
 
         return chunk
 
@@ -410,7 +472,7 @@ class GridMD:
     ) -> int:
         """Rebuild cadence sized for the Maxwell tail.
 
-        A chunk rebuilds when displacement-since-reference exceeds
+        A chunk rebuilds when displacement-since-rebuild exceeds
         ``gate_frac * skin`` and flags a violation at ``skin/2``; the window
         must therefore satisfy ``v_tail * dt * k < (1/2 - gate_frac) * skin``
         for the fastest particle we care about. With 1e5 particles over 1e6
@@ -427,17 +489,21 @@ class GridMD:
         return 0.5 * jnp.sum((s.vxg**2 + s.vyg**2) * s.occ)
 
     def potential_energy(self, s: GridMDState) -> jax.Array:
-        return 0.5 * jnp.sum(s.eg * s.occ)
+        """Computed on demand (one energy-kernel pass) — the hot loop never
+        does energy math. Each pair's (shifted) LJ energy is counted on both
+        partners, hence the 0.5."""
+        _, _, e = self.energy_kernel(s.xg, s.yg)
+        return 0.5 * jnp.sum(e)
 
     def positions(self, s: GridMDState) -> jax.Array:
-        """(N, 2) positions in particle order (one gather — use at sampling
-        stride, not per step)."""
+        """(N, 2) positions in particle order, wrapped into [0, box) (one
+        gather — use at sampling stride, not per step)."""
         pid = s.pid.reshape(-1)
         tgt = jnp.where(pid >= 0, pid, self.n)
         out = jnp.zeros((self.n + 1, 2), s.xg.dtype)
         out = out.at[tgt, 0].set(s.xg.reshape(-1), mode="drop")
         out = out.at[tgt, 1].set(s.yg.reshape(-1), mode="drop")
-        return out[: self.n]
+        return jnp.mod(out[: self.n], self.box)
 
     def velocities(self, s: GridMDState) -> jax.Array:
         pid = s.pid.reshape(-1)

@@ -6,6 +6,7 @@ from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import (
 )
 from jax_tpus_benchmark_physics_simulation_tpu.parallel.ring import (
     make_ring_lj_force,
+    make_ring_lj_energy,
     make_ring_gravity_accel,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "replicated",
     "pad_to_multiple",
     "make_ring_lj_force",
+    "make_ring_lj_energy",
     "make_ring_gravity_accel",
 ]

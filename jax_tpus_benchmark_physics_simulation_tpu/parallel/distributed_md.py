@@ -29,7 +29,10 @@ from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import (
     pad_to_multiple,
     shard_along,
 )
-from jax_tpus_benchmark_physics_simulation_tpu.parallel.ring import make_ring_lj_force
+from jax_tpus_benchmark_physics_simulation_tpu.parallel.ring import (
+    make_ring_lj_energy,
+    make_ring_lj_force,
+)
 
 
 @dataclass
@@ -75,14 +78,11 @@ def run_distributed_md(
     force = make_ring_lj_force(
         mesh, sigma=cfg.sigma, epsilon=cfg.epsilon, box=box, cutoff=cfg.cutoff
     )
-
-    from jax_tpus_benchmark_physics_simulation_tpu.ops.forces import LennardJones
-
-    # energy of valid particles only: evaluate pairwise via the ring force's
-    # potential analog — use a masked dense-per-shard energy by reusing the
-    # force pass is overkill here; sample KE cheaply and PE via a second
-    # ring-style reduction (per-particle energies).
-    lj = LennardJones(sigma=cfg.sigma, epsilon=cfg.epsilon, box=box, cutoff=cfg.cutoff)
+    # potential energy via the same ring pass (psum-reduced scalar) — a real
+    # per-sample series, not a broadcast final value
+    energy = make_ring_lj_energy(
+        mesh, sigma=cfg.sigma, epsilon=cfg.epsilon, box=box, cutoff=cfg.cutoff
+    )
 
     @jax.jit
     def program(pos, vel, valid):
@@ -100,23 +100,20 @@ def run_distributed_md(
             carry = lax.fori_loop(0, sample_every, lambda i, c: step(c), carry)
             r, v, f = carry
             ke = 0.5 * jnp.sum(v * v)
-            return carry, ke
+            pe = energy(r, valid)
+            return carry, (ke, pe)
 
         f0 = force(pos, valid) * vmask
         n_samples = max(1, num_steps // sample_every)
-        (pos, vel, _), ke_hist = lax.scan(
+        (pos, vel, _), (ke_hist, pe_hist) = lax.scan(
             sample_block, (pos, vel, f0), length=n_samples
         )
-        return pos, vel, ke_hist
+        return pos, vel, ke_hist, pe_hist
 
-    pos, vel, ke_hist = program(pos, vel, valid)
-
-    # PE sampled once at the end (dense, host-side N x N is fine for the
-    # validation scale; large-N PE tracking uses the grid engine)
-    pe = lj.energy(pos[:n])
+    pos, vel, ke_hist, pe_hist = program(pos, vel, valid)
     return DistributedMDResult(
         position=pos[:n],
         velocity=vel[:n],
         ke_history=ke_hist,
-        pe_history=jnp.broadcast_to(pe, ke_hist.shape),
+        pe_history=pe_hist,
     )

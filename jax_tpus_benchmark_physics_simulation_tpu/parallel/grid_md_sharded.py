@@ -4,14 +4,21 @@ The single-chip grid engine (ops.kernels.grid_md) holds the cell grid
 (ncx, C, ncy_pad) on one device. Here the cell-ROW axis is sharded over a
 1-D mesh: each device owns ncx/P contiguous rows of the physical domain.
 
-Per inner step (shard_map, all local except three one-row ppermutes):
-- halo exchange: each device sends its first row of (x, y, occ) to its left
-  neighbor, providing the "next row" the Newton force kernel needs;
+Per inner step (shard_map, all local except two one-row ppermutes):
+- halo exchange: each device sends its first row of (x, y) to its left
+  neighbor, providing the "next row" the Newton force kernel needs (the seam
+  device adds +box to the received x row — the same periodic-seam handling
+  the single-chip kernel does internally via its program index);
 - the Pallas cell kernel runs on the local rows;
 - the Newton reaction buffer's last row is the force the local edge exerts
   on the neighbor's first row — one more ppermute delivers it;
-- the Verlet update is elementwise-local; the displacement monitor reduces
-  with a pmax at window end.
+- the leapfrog kick+drift is elementwise-local; the displacement monitor
+  reduces with a pmax at window end.
+
+The integrator window itself is GridMD._make_window — the sharded engine
+injects only its halo force function and the pmax reduction, so plain,
+Kahan-compensated, and compensated='positions' configs execute IDENTICAL
+arithmetic on one chip and on a mesh.
 
 Cell re-binning (migration) runs OUTSIDE shard_map as plain jnp on the
 GSPMD-sharded state every ~n_inner steps: XLA inserts the (cheap, amortized)
@@ -76,14 +83,14 @@ class ShardedGridMD(GridMD):
                 f"cells_per_side {self.cps} not divisible by mesh size {self.n_shards}"
             )
         self.rows_local = self.cps // self.n_shards
-        # local-row force kernel (halo mode)
+        # local-row kernels (explicit-halo mode)
         self._local_force = make_grid_force_kernel(
-            grid_fn,
-            sigma=sigma,
-            epsilon=epsilon,
-            interpret=interpret,
-            newton=True,
+            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
             n_rows=self.rows_local,
+        ).raw
+        self._local_energy = make_grid_force_kernel(
+            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+            n_rows=self.rows_local, with_energy=True,
         ).raw
 
     def prepare(self, state: GridMDState) -> GridMDState:
@@ -104,80 +111,43 @@ class ShardedGridMD(GridMD):
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), state, specs
         )
 
-    # -- sharded inner window ---------------------------------------------------
-    def _local_step(self, s: GridMDState) -> GridMDState:
-        """One Verlet step on the local shard (called inside shard_map)."""
+    # -- halo force (called inside shard_map) ----------------------------------
+    def _with_halo(self, v: jax.Array, seam_delta: float = 0.0) -> jax.Array:
+        """Next-row array for the local block: local rows 1.. plus the next
+        device's first row. ``seam_delta``: added to the received halo row on
+        the last device, whose neighbor sits across the periodic seam (pass
+        ``box`` for the x coordinate)."""
         ax, p = self.axis_name, self.n_shards
-        dt, box = self.dt, self.box
         fwd = [(i, (i - 1) % p) for i in range(p)]  # row 0 -> left neighbor
+        halo = lax.ppermute(v[0:1], ax, fwd)  # next device's first row
+        if seam_delta:
+            halo = halo + jnp.where(
+                lax.axis_index(ax) == p - 1, seam_delta, 0.0
+            ).astype(halo.dtype)
+        return jnp.concatenate([v[1:], halo], axis=0)
+
+    def _shift_reaction(self, r: jax.Array) -> jax.Array:
+        """Reaction row i is destined for row i+1; the last row crosses to
+        the next device."""
+        ax, p = self.axis_name, self.n_shards
         bwd = [(i, (i + 1) % p) for i in range(p)]  # row -1 -> right neighbor
+        halo = lax.ppermute(r[-1:], ax, bwd)  # prev device's last row
+        return jnp.concatenate([halo, r[:-1]], axis=0)
 
-        def force(xg, yg, og):
-            def with_halo(v):
-                halo = lax.ppermute(v[0:1], ax, fwd)  # next device's first row
-                return jnp.concatenate([v[1:], halo], axis=0)
-
-            fx, fy, e, rfx, rfy, re_ = self._local_force(
-                xg, with_halo(xg), yg, with_halo(yg), og, with_halo(og)
-            )
-
-            def shift_reaction(r):
-                halo = lax.ppermute(r[-1:], ax, bwd)  # prev device's last row
-                return jnp.concatenate([halo, r[:-1]], axis=0)
-
-            return (
-                fx + shift_reaction(rfx),
-                fy + shift_reaction(rfy),
-                e + shift_reaction(re_),
-            )
-
-        if self.compensated:
-            vxh, cvx = self._kadd(s.vxg, s.cvx, 0.5 * dt * s.fxg)
-            vyh, cvy = self._kadd(s.vyg, s.cvy, 0.5 * dt * s.fyg)
-            xg, crx = self._kadd(s.xg, s.crx, dt * vxh)
-            yg, cry = self._kadd(s.yg, s.cry, dt * vyh)
-            xg = jnp.mod(xg, box) * s.occ
-            yg = jnp.mod(yg, box) * s.occ
-            fxg, fyg, eg = force(xg, yg, s.occ)
-            vxg, cvx = self._kadd(vxh, cvx, 0.5 * dt * fxg)
-            vyg, cvy = self._kadd(vyh, cvy, 0.5 * dt * fyg)
-            return s.replace(
-                xg=xg, yg=yg, vxg=vxg, vyg=vyg, fxg=fxg, fyg=fyg, eg=eg,
-                crx=crx, cry=cry, cvx=cvx, cvy=cvy, time=s.time + dt,
-            )
-        vxh = s.vxg + 0.5 * dt * s.fxg
-        vyh = s.vyg + 0.5 * dt * s.fyg
-        xg = jnp.mod(s.xg + dt * vxh, box) * s.occ
-        yg = jnp.mod(s.yg + dt * vyh, box) * s.occ
-        fxg, fyg, eg = force(xg, yg, s.occ)
-        return s.replace(
-            xg=xg, yg=yg,
-            vxg=vxh + 0.5 * dt * fxg,
-            vyg=vyh + 0.5 * dt * fyg,
-            fxg=fxg, fyg=fyg, eg=eg,
-            time=s.time + dt,
+    def _halo_force(self, xg, yg):
+        fx, fy, rfx, rfy = self._local_force(
+            xg, self._with_halo(xg, seam_delta=self.box), yg, self._with_halo(yg)
         )
+        return fx + self._shift_reaction(rfx), fy + self._shift_reaction(rfy)
 
+    # -- sharded windows --------------------------------------------------------
     def make_chunk_step(self, n_inner: int):
         """Sharded chunk: conditional (global, GSPMD) migration rebuild, then
-        ``n_inner`` shard_map steps with per-step displacement monitoring."""
-        skin, box, ax = self.skin, self.box, self.axis_name
-
-        def inner_window(s: GridMDState):
-            def body(i, carry):
-                s, dmax2 = carry
-                s = self._local_step(s)
-                dx = s.xg - s.ref_xg
-                dx = dx - box * jnp.round(dx / box)
-                dy = s.yg - s.ref_yg
-                dy = dy - box * jnp.round(dy / box)
-                d2 = jnp.max((dx * dx + dy * dy) * s.occ)
-                return s, jnp.maximum(dmax2, d2)
-
-            s, dmax2 = lax.fori_loop(0, n_inner, body, (s, jnp.zeros((), s.xg.dtype)))
-            dmax2 = lax.pmax(dmax2, ax)
-            violation = dmax2 > (0.5 * skin) ** 2
-            return s.replace(overflow=s.overflow | violation)
+        one shard_map leapfrog window of ``n_inner`` steps."""
+        ax = self.axis_name
+        window = self._make_window(
+            self._halo_force, n_inner, reduce_max=lambda v: lax.pmax(v, ax)
+        )
 
         def chunk(s: GridMDState) -> GridMDState:
             # rebuild on the GSPMD-sharded global arrays (collectives auto)
@@ -189,7 +159,7 @@ class ShardedGridMD(GridMD):
             )
             specs = self._state_specs(s)
             sharded = jax.shard_map(
-                inner_window,
+                window,
                 mesh=self.mesh,
                 in_specs=(specs,),
                 out_specs=specs,
@@ -199,40 +169,42 @@ class ShardedGridMD(GridMD):
 
         return chunk
 
-    def force_once(self, s: GridMDState):
-        """Single sharded force evaluation (for tests)."""
+    def step_nocheck(self, s: GridMDState) -> GridMDState:
         specs = self._state_specs(s)
+        window = self._make_window(
+            self._halo_force, 1, reduce_max=lambda v: lax.pmax(v, self.axis_name)
+        )
+        return jax.shard_map(
+            window, mesh=self.mesh, in_specs=(specs,), out_specs=specs,
+            check_vma=False,
+        )(s)
+
+    def force_once(self, s: GridMDState):
+        """Single sharded force evaluation (for tests): total (fx, fy)."""
+        arr_spec = P(self.axis_name)
+        return jax.shard_map(
+            self._halo_force,
+            mesh=self.mesh,
+            in_specs=(arr_spec, arr_spec),
+            out_specs=(arr_spec, arr_spec),
+            check_vma=False,
+        )(s.xg, s.yg)
+
+    def potential_energy(self, s: GridMDState) -> jax.Array:
+        """On-demand sharded energy pass (psum-reduced scalar)."""
         arr_spec = P(self.axis_name)
 
-        def one(s):
-            s2 = self._local_step(s)
-            return s2.fxg, s2.fyg
-
-        # reuse _local_step indirectly: compute force at current positions by
-        # a zero-dt trick is invasive; instead expose the halo force directly:
-        def force_only(xg, yg, og):
-            ax, p = self.axis_name, self.n_shards
-            fwd = [(i, (i - 1) % p) for i in range(p)]
-            bwd = [(i, (i + 1) % p) for i in range(p)]
-
-            def with_halo(v):
-                halo = lax.ppermute(v[0:1], ax, fwd)
-                return jnp.concatenate([v[1:], halo], axis=0)
-
-            fx, fy, e, rfx, rfy, re_ = self._local_force(
-                xg, with_halo(xg), yg, with_halo(yg), og, with_halo(og)
+        def local_pe(xg, yg):
+            out = self._local_energy(
+                xg, self._with_halo(xg, seam_delta=self.box), yg, self._with_halo(yg)
             )
-
-            def shift_reaction(r):
-                halo = lax.ppermute(r[-1:], ax, bwd)
-                return jnp.concatenate([halo, r[:-1]], axis=0)
-
-            return fx + shift_reaction(rfx), fy + shift_reaction(rfy), e + shift_reaction(re_)
+            e = out[4] + self._shift_reaction(out[5])
+            return lax.psum(0.5 * jnp.sum(e), self.axis_name)
 
         return jax.shard_map(
-            force_only,
+            local_pe,
             mesh=self.mesh,
-            in_specs=(arr_spec, arr_spec, arr_spec),
-            out_specs=(arr_spec, arr_spec, arr_spec),
+            in_specs=(arr_spec, arr_spec),
+            out_specs=P(),
             check_vma=False,
-        )(s.xg, s.yg, s.occ)
+        )(s.xg, s.yg)

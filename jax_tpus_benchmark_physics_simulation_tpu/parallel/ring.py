@@ -111,6 +111,76 @@ def make_ring_lj_force(
     )
 
 
+def _lj_energy_block(ri, rj, valid_i, valid_j, *, sigma, epsilon, box, cutoff, same_shard):
+    """Per-particle (i-side) LJ energies from block j, (n_i,). Shifted so
+    U(cutoff) = 0 when a cutoff is set — same convention as
+    forces.LennardJones._shift, so ring PE matches the dense oracle."""
+    dr = ri[:, None, :] - rj[None, :, :]
+    if box is not None:
+        dr = minimum_image(dr, box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    mask = valid_i[:, None] & valid_j[None, :]
+    if same_shard:
+        n = ri.shape[0]
+        mask = mask & ~jnp.eye(n, dtype=bool)
+    else:
+        mask = mask & (r2 > 1e-12)
+    shift = 0.0
+    if cutoff is not None:
+        mask = mask & (r2 < cutoff**2)
+        sc6 = (sigma / cutoff) ** 6
+        shift = 4.0 * epsilon * (sc6 * sc6 - sc6)
+    r2_safe = jnp.where(mask, r2, 1.0)
+    inv_r2 = (sigma * sigma) / r2_safe
+    s6 = inv_r2 * inv_r2 * inv_r2
+    s12 = s6 * s6
+    pair = jnp.where(mask, 4.0 * epsilon * (s12 - s6) - shift, 0.0)
+    return jnp.sum(pair, axis=1)
+
+
+def make_ring_lj_energy(
+    mesh: Mesh,
+    axis_name: str = "d",
+    sigma: float = 1.0,
+    epsilon: float = 1.0,
+    box: Optional[float] = None,
+    cutoff: Optional[float] = None,
+):
+    """Returns ``energy(R, valid) -> scalar`` (replicated) as a shard_map
+    program: total potential energy via the same ring rotation as the force
+    pass, psum-reduced. Each pair is seen by both endpoints, hence the 0.5."""
+    p = mesh.shape[axis_name]
+
+    def local(r_local, valid_local):
+        blk = partial(
+            _lj_energy_block, sigma=sigma, epsilon=epsilon, box=box, cutoff=cutoff
+        )
+        e0 = blk(r_local, r_local, valid_local, valid_local, same_shard=True)
+
+        def round_fn(carry, k):
+            other_r, other_v, acc = carry
+            perm = [(i, (i + 1) % p) for i in range(p)]
+            other_r = lax.ppermute(other_r, axis_name, perm)
+            other_v = lax.ppermute(other_v, axis_name, perm)
+            acc = acc + blk(r_local, other_r, valid_local, other_v, same_shard=False)
+            return (other_r, other_v, acc), None
+
+        if p > 1:
+            (_, _, e), _ = lax.scan(
+                round_fn, (r_local, valid_local, e0), jnp.arange(p - 1)
+            )
+        else:
+            e = e0
+        return lax.psum(0.5 * jnp.sum(e), axis_name)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(),
+    )
+
+
 def make_ring_gravity_accel(
     mesh: Mesh,
     axis_name: str = "d",

@@ -37,6 +37,17 @@ def test_matches_local_dense():
     )
     assert res.ke_history.shape == (3,)
     assert np.all(np.isfinite(np.asarray(res.ke_history)))
+    # pe_history is a REAL per-sample ring-energy series: its last entry must
+    # equal the dense oracle's energy at the final positions, and the series
+    # must not be a broadcast constant.
+    from jax_tpus_benchmark_physics_simulation_tpu.ops.forces import LennardJones
+
+    lj = LennardJones(box=box, cutoff=cfg.cutoff)
+    np.testing.assert_allclose(
+        float(res.pe_history[-1]), float(lj.energy(res.position)), rtol=1e-4
+    )
+    assert res.pe_history.shape == (3,)
+    assert len(set(np.asarray(res.pe_history).tolist())) > 1
 
 
 def test_padding_particles_stay_inert():

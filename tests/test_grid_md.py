@@ -128,7 +128,8 @@ class TestLJFluidGridDispatch:
         cfg_g = override(MDConfig(), force_impl="grid", **common)
         cfg_d = override(MDConfig(), force_impl="dense_xla", **common)
         state = lj_fluid.init_state(cfg_g)
-        _, (_, ke_g, pe_g) = lj_fluid.production(cfg_g, state)
-        _, (_, ke_d, pe_d) = lj_fluid.production(cfg_d, state)
+        _, (_, ke_g, pe_g), ovf = lj_fluid.production(cfg_g, state)
+        _, (_, ke_d, pe_d), _ = lj_fluid.production(cfg_d, state)
+        assert not bool(ovf)
         np.testing.assert_allclose(np.asarray(ke_g), np.asarray(ke_d), rtol=1e-3)
         np.testing.assert_allclose(np.asarray(pe_g), np.asarray(pe_d), rtol=1e-3, atol=0.05)

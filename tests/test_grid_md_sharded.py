@@ -35,15 +35,25 @@ class TestShardedForce:
     def test_force_matches_local(self):
         pos, vel, local, sharded = setup()
         gs = local.init(pos, vel)
-        fx_l, fy_l, e_l = local.force_kernel(gs.xg, gs.yg, gs.occ)
+        fx_l, fy_l = local.force_kernel(gs.xg, gs.yg)
         gss = sharded.shard_state(gs)
-        fx_s, fy_s, e_s = sharded.force_once(gss)
+        fx_s, fy_s = sharded.force_once(gss)
         occ = np.asarray(gs.occ) > 0.5
         np.testing.assert_allclose(
             np.asarray(fx_s)[occ], np.asarray(fx_l)[occ], rtol=1e-4, atol=1e-4
         )
         np.testing.assert_allclose(
-            np.asarray(e_s)[occ], np.asarray(e_l)[occ], rtol=1e-4, atol=1e-4
+            np.asarray(fy_s)[occ], np.asarray(fy_l)[occ], rtol=1e-4, atol=1e-4
+        )
+
+    def test_energy_matches_local(self):
+        pos, vel, local, sharded = setup()
+        gs = local.init(pos, vel)
+        gss = sharded.shard_state(gs)
+        np.testing.assert_allclose(
+            float(sharded.potential_energy(gss)),
+            float(local.potential_energy(gs)),
+            rtol=1e-5,
         )
 
 

@@ -32,8 +32,9 @@ def test_trajectory_matches_dense_xla(impl):
     cfg_alt = cfg_for(impl)
     state = lj_fluid.init_state(cfg_ref)
 
-    s_ref = lj_fluid.equilibrate(cfg_ref, state)
-    s_alt = lj_fluid.equilibrate(cfg_alt, state)
+    s_ref, ovf_r = lj_fluid.equilibrate(cfg_ref, state)
+    s_alt, ovf_a = lj_fluid.equilibrate(cfg_alt, state)
+    assert not bool(ovf_r) and not bool(ovf_a)
     np.testing.assert_allclose(
         np.asarray(s_alt.position), np.asarray(s_ref.position), rtol=1e-3, atol=1e-3
     )
@@ -50,7 +51,7 @@ def test_neighbor_energy_matches_dense_energy_observable():
     cfg_n = cfg_for("neighbor")
     cfg_d = cfg_for("dense_xla")
     state = lj_fluid.init_state(cfg_n)
-    _, (_, ke_n, pe_n) = lj_fluid.production(cfg_n, state)
-    _, (_, ke_d, pe_d) = lj_fluid.production(cfg_d, state)
+    _, (_, ke_n, pe_n), _ = lj_fluid.production(cfg_n, state)
+    _, (_, ke_d, pe_d), _ = lj_fluid.production(cfg_d, state)
     np.testing.assert_allclose(np.asarray(pe_n), np.asarray(pe_d), rtol=1e-3, atol=1e-2)
     np.testing.assert_allclose(np.asarray(ke_n), np.asarray(ke_d), rtol=1e-3, atol=1e-2)
