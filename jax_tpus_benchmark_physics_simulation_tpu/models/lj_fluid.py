@@ -81,8 +81,8 @@ def resolve_impl(cfg: MDConfig) -> str:
     if impl == "auto":
         cps = 0 if cfg.cutoff is None else int(cfg.box_size / (cfg.cutoff + cfg.skin))
         if cfg.cutoff is not None and cfg.n >= 4096 and cps >= 3:
-            # grid-resident Pallas MD (fastest, 2D); cell-dense covers 3D
-            impl = "grid" if cfg.dim == 2 else "cell"
+            # grid-resident Pallas MD (fastest; 2D and 3D engines)
+            impl = "grid" if cfg.dim in (2, 3) else "cell"
         elif cfg.cutoff is not None and cfg.n >= 4096:
             impl = "neighbor"
         elif cfg.n >= 1024 and jax.default_backend() == "tpu":
@@ -91,8 +91,8 @@ def resolve_impl(cfg: MDConfig) -> str:
             impl = "dense_xla"
     if impl in ("neighbor", "cell", "grid") and cfg.cutoff is None:
         raise ValueError(f"force_impl={impl!r} requires a cutoff")
-    if impl == "grid" and cfg.dim != 2:
-        raise ValueError("force_impl='grid' is 2D only (use 'cell' for 3D)")
+    if impl == "grid" and cfg.dim not in (2, 3):
+        raise ValueError("force_impl='grid' supports dim 2 and 3")
     return impl
 
 
@@ -106,6 +106,12 @@ def _make_grid_md(cfg: MDConfig):
         cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
     )
     kw = dict(sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt, compensated=cfg.compensated)
+    if cfg.dim == 3:
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md3 import (
+            GridMD3,
+        )
+
+        return GridMD3(gf, **kw)  # single-device (2D engine has the sharded variant)
     n_dev = jax.device_count()
     if n_dev > 1 and gf.cells_per_side % n_dev == 0:
         # auto-shard cell rows over all devices (halo-exchange engine)
@@ -363,17 +369,29 @@ def run(
     cfg: Optional[MDConfig] = None,
     key: Optional[jax.Array] = None,
     ckpt_dir: Optional[str] = None,
+    progress=None,
 ) -> MDResult:
     """Full timed pipeline: equilibrate -> production -> g(r), matching the
     reference's three-phase timing (molecular_dynamics...:138-165).
 
     With ``ckpt_dir``, the equilibrated state is checkpointed (orbax) and
     reused on re-runs — the resumability the reference lacks (SURVEY.md §5).
+    ``progress``: optional report.console.progress() handle — each phase gets
+    a live spinner (the phases are single fused device programs, so there is
+    nothing finer to tick; parity with the reference's per-phase spinners).
     """
     cfg = cfg or MDConfig()
     state = init_state(cfg, key)
 
+    def phase(desc):
+        return progress.add_task(desc, total=None) if progress is not None else None
+
+    def phase_done(task):
+        if progress is not None:
+            progress.update(task, total=1, completed=1)
+
     t0 = time.perf_counter()
+    task = phase(f"equilibration ({cfg.eq_steps:,} steps)")
     state_eq = None
     overflow_eq = False
     if ckpt_dir is not None:
@@ -393,11 +411,14 @@ def run(
 
             save_checkpoint(ckpt_dir, cfg.eq_steps, state_eq)
     time_eq = time.perf_counter() - t0
+    phase_done(task)
 
     t0 = time.perf_counter()
+    task = phase(f"production ({cfg.prod_steps:,} steps)")
     final, (r_hist, ke_hist, pe_hist), overflow_prod = production(cfg, state_eq)
     _ = float(ke_hist[-1])  # hard sync
     time_prod = time.perf_counter() - t0
+    phase_done(task)
     overflow = overflow_eq or bool(overflow_prod)
     if overflow:
         import warnings
@@ -410,9 +431,11 @@ def run(
         )
 
     t0 = time.perf_counter()
+    task = phase(f"g(r) ({int(r_hist.shape[0])} snapshots)")
     rdf_r, rdf_g = rdf(cfg, r_hist)
     _ = float(rdf_g[0])  # hard sync
     time_rdf = time.perf_counter() - t0
+    phase_done(task)
 
     res = MDResult(
         state=final,

@@ -1,0 +1,348 @@
+"""Pallas cell-grid LJ force kernel (3D) — packed-lane generalization of the
+2D kernel (cell_pallas.py).
+
+Layout: the 3D cell grid ``(ncx, ncy, ncz)`` is stored as ``(ncx, C, P)``
+with the (y, z) cell plane PACKED into the lane axis — lane ``cy*ncz + cz``,
+padded to ``P = round_up(ncy*ncz, 128)``. Each Pallas program owns one x-row
+of cells: a (C, P) block per coordinate. Packing the plane instead of padding
+each z-column to 128 (the naive ``(ncx*ncy, C, ncz_pad)`` layout) keeps lane
+utilization at ``ncy*ncz/P`` (75-100%) instead of ``ncz/128`` (~13% at the
+N=100k scale) — the lane-packing idea from round 1's known-waste list
+(results/RESULTS.md) applied where it matters most.
+
+Everything that made the 2D kernel fast carries over unchanged (see
+cell_pallas.py's docstring for the measurements): x-sentinel empty slots
+(no occupancy masks), per-block periodic-seam patches (no per-pair
+minimum-image), single reciprocal, Newton's third law, BlockSpec index-map
+neighbor rows (no rolled copies). 3D specifics:
+
+- **14 pair blocks instead of 27** (Newton): same-cell (a<b), (0,0,+1),
+  (0,+1,dz) x3, and (+1,dy,dz) x9 whose reactions accumulate into per-row
+  reaction outputs written at row (i+1) % ncx.
+- **Packed-plane lane shifts**: a (dy, dz) cell shift is a composition of a
+  z-shift (roll by dz with the z-seam columns ``col % ncz == wrap`` patched
+  from a second roll) and a y-shift (roll by dy*ncz with the y-seam block
+  ``col // ncz == wrap`` patched) — 2 rolls + 1 select per axis, still no
+  per-pair minimum-image arithmetic.
+- **a-chunking**: 3D capacities are ~3x 2D's (C ~ 32-64), so a full
+  (C*C, P) pair block would blow VMEM. The self capacity axis is processed
+  in chunks of ``ca`` rows ((ca*C, P) temporaries, ~1 MB), with per-chunk
+  force rows concatenated and reaction sums accumulated across chunks.
+
+Physics is the reference's LJ 6-12 (molecular_dynamics_jax_single-host_
+workload.py:50-62, which is dim=2-hardcoded at :26 — 3D at this scale is
+beyond-reference scope) — cross-checked against the dense oracle in
+tests/test_grid_md3.py.
+
+Interface (``make_grid_force_kernel3``): ``(xg, yg, zg) -> (fx, fy, fz)``
+totals, or ``(..., e)`` with ``with_energy=True``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import CellGridFn
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas import _round_up
+
+
+def _shift_plane(block: jax.Array, dy: int, dz: int, ncy: int, ncz: int,
+                 delta_y: float = 0.0, delta_z: float = 0.0) -> jax.Array:
+    """``out[:, y*ncz + z] = block[:, ((y+dy)%ncy)*ncz + (z+dz)%ncz]`` on the
+    packed lane plane, with periodic-seam coordinate offsets: lanes that
+    wrapped in y get ``±delta_y``, lanes that wrapped in z get ``±delta_z``
+    (pass ``box`` for the matching coordinate array, 0 otherwise).
+
+    Padding lanes (``col >= ncy*ncz``) end up with garbage — harmless: pairs
+    are strictly per-lane and the self side of a padding lane holds the x
+    sentinel, so every such pair is rejected; output padding lanes are zeroed
+    by the caller's live mask.
+    """
+    n = block.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+    if dz:
+        main = pltpu.roll(block, (-dz) % n, axis=1)
+        if dz == 1:
+            wrap = pltpu.roll(block, (ncz - 1) % n, axis=1)
+            block = jnp.where(col % ncz == ncz - 1, wrap + delta_z, main)
+        else:
+            wrap = pltpu.roll(block, (-(ncz - 1)) % n, axis=1)
+            block = jnp.where(col % ncz == 0, wrap - delta_z, main)
+    if dy:
+        main = pltpu.roll(block, (-dy * ncz) % n, axis=1)
+        if dy == 1:
+            wrap = pltpu.roll(block, ((ncy - 1) * ncz) % n, axis=1)
+            block = jnp.where(col // ncz == ncy - 1, wrap + delta_y, main)
+        else:
+            wrap = pltpu.roll(block, (-(ncy - 1) * ncz) % n, axis=1)
+            block = jnp.where(col // ncz == 0, wrap - delta_y, main)
+    return block
+
+
+# Newton-halved neighbor offsets: (dx, dy, dz) covering each pair once.
+# Same-row offsets fold their reaction back in-row; dx=+1 offsets write it
+# to the next row's reaction output (shifted back into that row's frame).
+_SAME_ROW = [(0, 0, 1), (0, 1, -1), (0, 1, 0), (0, 1, 1)]
+_NEXT_ROW = [(1, dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+
+
+def _newton_kernel3(
+    *refs,
+    cap,
+    ncy,
+    ncz,
+    box,
+    cutoff2,
+    sigma2,
+    epsilon,
+    shift,
+    n_rows,
+    row_wrap,
+    with_energy,
+    a_chunk,
+):
+    """3D Newton cell kernel. Ref order:
+    (xs, xn, ys, yn, zs, zn) -> (fx, fy, fz, rfx, rfy, rfz[, e, re])."""
+    if with_energy:
+        (xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
+         fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref, e_ref, re_ref) = refs
+    else:
+        (xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
+         fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref) = refs
+        e_ref = re_ref = None
+
+    x_self, y_self, z_self = xs_ref[0], ys_ref[0], zs_ref[0]  # (C, P)
+    x_next, y_next, z_next = xn_ref[0], yn_ref[0], zn_ref[0]
+    if row_wrap:
+        pid = pl.program_id(0)
+        x_next = x_next + jnp.where(pid == n_rows - 1, box, 0.0).astype(x_next.dtype)
+
+    lanes = x_self.shape[1]
+    fscale = 24.0 * epsilon / sigma2
+    ca = a_chunk
+    n_chunks = cap // ca
+    sub_b = jax.lax.broadcasted_iota(jnp.int32, (ca * cap, lanes), 0) % cap
+
+    def partner(src_x, src_y, src_z, dy, dz):
+        return (
+            _shift_plane(src_x, dy, dz, ncy, ncz),
+            _shift_plane(src_y, dy, dz, ncy, ncz, delta_y=box),
+            _shift_plane(src_z, dy, dz, ncy, ncz, delta_z=box),
+        )
+
+    def unshift(v, dy, dz):
+        """Reaction sums back into the partner row's own lane frame (force
+        components carry no coordinate deltas)."""
+        return _shift_plane(v, -dy, -dz, ncy, ncz)
+
+    # Precompute the 14 shifted partner coordinate triples (loop-invariant,
+    # (C, P) each — ~42 small arrays). The pair math runs inside a fori_loop
+    # over a-chunks so only ONE chunk's (ca*C, P) temporaries are live at a
+    # time: a fully unrolled chunk x block body was measured at 143.8 MB of
+    # scoped VMEM at the N=100k scale (cap 48, P 384) — over the chip's
+    # 128 MB — while this loop form holds a few MB.
+    blocks = [("self", x_self, y_self, z_self, 0, 0)]
+    for _, dy, dz in _SAME_ROW:
+        px, py, pz = partner(x_self, y_self, z_self, dy, dz)
+        blocks.append(("same", px, py, pz, dy, dz))
+    for _, dy, dz in _NEXT_ROW:
+        px, py, pz = partner(x_next, y_next, z_next, dy, dz)
+        blocks.append(("next", px, py, pz, dy, dz))
+
+    kk = (ca * cap, lanes)
+    sh3 = (ca, cap, lanes)
+
+    def rep_b(v):  # partner coords: row k = a*cap + b holds v[b]
+        return jnp.broadcast_to(v[None, :, :], sh3).reshape(kk)
+
+    def rep_a(v):  # chunk self coords: row k = a*cap + b holds v[a]
+        return jnp.broadcast_to(v[:, None, :], sh3).reshape(kk)
+
+    # Output refs double as accumulators (Mosaic lowers dynamic indexing on
+    # REFS, not values — pl.ds below; and ref accumulation keeps one chunk's
+    # temporaries live at a time instead of one per unrolled segment).
+    zero_cp = jnp.zeros((cap, lanes), jnp.float32)
+    for ref in (fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref):
+        ref[0] = zero_cp
+    if with_energy:
+        e_ref[0] = zero_cp
+        re_ref[0] = zero_cp
+
+    def chunk_body(ci, _):
+        a0 = pl.multiple_of(ci * ca, ca)
+        x_i = rep_a(xs_ref[0, pl.ds(a0, ca)])
+        y_i = rep_a(ys_ref[0, pl.ds(a0, ca)])
+        z_i = rep_a(zs_ref[0, pl.ds(a0, ca)])
+        fa_x = fa_y = fa_z = jnp.zeros((ca, lanes), jnp.float32)
+        ea = jnp.zeros((ca, lanes), jnp.float32) if with_energy else None
+
+        for kind, px, py, pz, dy, dz in blocks:
+            dx = x_i - rep_b(px)
+            dyy = y_i - rep_b(py)
+            dzz = z_i - rep_b(pz)
+            r2 = dx * dx + dyy * dyy + dzz * dzz
+            valid = (r2 < cutoff2) & (r2 > 0.0)
+            if kind == "self":
+                # a < b, with a = chunk-local row + chunk offset
+                sub_a = jax.lax.broadcasted_iota(jnp.int32, kk, 0) // cap + a0
+                valid = valid & (sub_a < sub_b)
+            r2s = jnp.where(valid, r2, 1.0)
+            inv = sigma2 / r2s
+            s6 = inv * inv * inv
+            s12 = s6 * s6
+            fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
+            fxb = (fmag * dx).reshape(sh3)
+            fyb = (fmag * dyy).reshape(sh3)
+            fzb = (fmag * dzz).reshape(sh3)
+            fa_x = fa_x + jnp.sum(fxb, axis=1)
+            fa_y = fa_y + jnp.sum(fyb, axis=1)
+            fa_z = fa_z + jnp.sum(fzb, axis=1)
+            bx = jnp.sum(fxb, axis=0)
+            by = jnp.sum(fyb, axis=0)
+            bz = jnp.sum(fzb, axis=0)
+            if kind == "self":
+                fx_ref[0] = fx_ref[0] - bx
+                fy_ref[0] = fy_ref[0] - by
+                fz_ref[0] = fz_ref[0] - bz
+            elif kind == "same":
+                fx_ref[0] = fx_ref[0] - unshift(bx, dy, dz)
+                fy_ref[0] = fy_ref[0] - unshift(by, dy, dz)
+                fz_ref[0] = fz_ref[0] - unshift(bz, dy, dz)
+            else:
+                rfx_ref[0] = rfx_ref[0] - unshift(bx, dy, dz)
+                rfy_ref[0] = rfy_ref[0] - unshift(by, dy, dz)
+                rfz_ref[0] = rfz_ref[0] - unshift(bz, dy, dz)
+            if with_energy:
+                ebk = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0).reshape(sh3)
+                ea = ea + jnp.sum(ebk, axis=1)
+                ebs = jnp.sum(ebk, axis=0)
+                if kind == "self":
+                    e_ref[0] = e_ref[0] + ebs
+                elif kind == "same":
+                    e_ref[0] = e_ref[0] + unshift(ebs, dy, dz)
+                else:
+                    re_ref[0] = re_ref[0] + unshift(ebs, dy, dz)
+
+        # this chunk's a-side rows are disjoint: accumulate at [a0 : a0+ca)
+        fx_ref[0, pl.ds(a0, ca)] = fx_ref[0, pl.ds(a0, ca)] + fa_x
+        fy_ref[0, pl.ds(a0, ca)] = fy_ref[0, pl.ds(a0, ca)] + fa_y
+        fz_ref[0, pl.ds(a0, ca)] = fz_ref[0, pl.ds(a0, ca)] + fa_z
+        if with_energy:
+            e_ref[0, pl.ds(a0, ca)] = e_ref[0, pl.ds(a0, ca)] + ea
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # zero padding lanes (reaction unshifts duplicate seam values into them)
+    live = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1) < ncy * ncz
+    for ref in (fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref):
+        ref[0] = jnp.where(live, ref[0], zero_cp)
+    if with_energy:
+        e_ref[0] = jnp.where(live, e_ref[0], zero_cp)
+        re_ref[0] = jnp.where(live, re_ref[0], zero_cp)
+
+
+def make_grid_force_kernel3(
+    grid_fn: CellGridFn,
+    sigma: float = 1.0,
+    epsilon: float = 1.0,
+    interpret: Optional[bool] = None,
+    with_energy: bool = False,
+    a_chunk: Optional[int] = None,
+):
+    """3D grid-level entry point: ``(xg, yg, zg) -> (fx, fy, fz)`` (or
+    ``(..., e)``) on the packed (ncx, C, P) layout with x-sentinels at empty
+    slots. Forces are reaction-folded totals. See the module docstring;
+    2D counterpart: cell_pallas.make_grid_force_kernel.
+
+    ``a_chunk``: self-capacity rows per VMEM chunk (must divide C; default
+    targets ~1 MB pair-block temporaries).
+    """
+    assert grid_fn.dim == 3, "use cell_pallas.make_grid_force_kernel for 2D"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    cps, cap, box, cutoff = (
+        grid_fn.cells_per_side,
+        grid_fn.capacity,
+        grid_fn.box,
+        grid_fn.cutoff,
+    )
+    lanes = _round_up(cps * cps, 128)
+    if a_chunk is None:
+        # largest multiple-of-8 divisor of cap with (a_chunk*cap*lanes) f32
+        # <= ~1.5 MB pair-block temporaries. Must be a multiple of 8: Mosaic
+        # requires dynamic sublane starts provably 8-aligned (the kernel
+        # slices the capacity axis at a_chunk strides).
+        cands = [c for c in range(8, cap + 1, 8) if cap % c == 0]
+        fits = [c for c in cands if c * cap * lanes * 4 <= 1.5 * 2**20]
+        a_chunk = max(fits) if fits else (min(cands) if cands else cap)
+    assert cap % a_chunk == 0, f"a_chunk {a_chunk} must divide capacity {cap}"
+    assert a_chunk % 8 == 0 or a_chunk == cap, (
+        f"a_chunk {a_chunk} must be 8-aligned (sublane slicing)"
+    )
+
+    sc6 = (sigma / cutoff) ** 6
+    shift = 4.0 * epsilon * (sc6 * sc6 - sc6)
+    rows = cps
+    params = dict(
+        cap=cap,
+        ncy=cps,
+        ncz=cps,
+        box=float(box),
+        cutoff2=float(cutoff) ** 2,
+        sigma2=float(sigma) ** 2,
+        epsilon=float(epsilon),
+        shift=float(shift),
+        n_rows=rows,
+        with_energy=with_energy,
+        a_chunk=a_chunk,
+    )
+    n_out = 8 if with_energy else 6
+
+    def block(index_map):
+        return pl.BlockSpec((1, cap, lanes), index_map, memory_space=pltpu.VMEM)
+
+    self_blk = block(lambda i: (i, 0, 0))
+    next_blk = block(lambda i: ((i + 1) % rows, 0, 0))
+    out_struct = jax.ShapeDtypeStruct((rows, cap, lanes), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=rows * 14 * cap * cap * lanes * 25,
+        bytes_accessed=(6 + n_out) * rows * cap * lanes * 4,
+        transcendentals=0,
+    )
+
+    kernel = functools.partial(_newton_kernel3, row_wrap=True, **params)
+    out_specs = [self_blk, self_blk, self_blk, next_blk, next_blk, next_blk]
+    if with_energy:
+        out_specs += [self_blk, next_blk]
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows,),
+        in_specs=[self_blk, next_blk] * 3,
+        out_specs=out_specs,
+        out_shape=[out_struct] * n_out,
+        interpret=interpret,
+        cost_estimate=cost,
+        # the chunk loop holds ~(42 partner arrays + one chunk's pair temps):
+        # ~16 MB at the N=100k scale — above Mosaic's 16 MB default scoped
+        # limit, far under the chip's 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )
+
+    def grid_force(xg, yg, zg):
+        out = call(xg, xg, yg, yg, zg, zg)
+        fx = out[0] + out[3]
+        fy = out[1] + out[4]
+        fz = out[2] + out[5]
+        if with_energy:
+            return fx, fy, fz, out[6] + out[7]
+        return fx, fy, fz
+
+    return grid_force

@@ -1,0 +1,456 @@
+"""Grid-resident LJ molecular dynamics (3D) — packed-lane generalization of
+the 2D engine (grid_md.py; read that docstring first — every design choice
+there was measured on TPU v5e and carries over).
+
+State lives permanently in the (ncx, C, P) cell-grid layout of the 3D Pallas
+kernel (cell_pallas3.py), with the (y, z) cell plane packed into lanes
+(lane = cy*ncz + cz). The step is the same leapfrog-window scheme: one fused
+elementwise pass + one Pallas force call per step, displacement accumulators
+for the skin monitor, Kahan compensation optional, migration-based re-binning
+(rolls + small-axis cumsums over the 27 3D directions — no argsort) as the
+only gather/scatter in the run. Coordinates are wrapped only at rebuilds.
+
+The reference MD is dim=2-hardcoded (molecular_dynamics_jax_single-host_
+workload.py:26); 3D at the 100k-particle scale is beyond-reference scope
+(round-1 VERDICT item 2). Physics parity vs the dense oracle is asserted in
+tests/test_grid_md3.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import CellGridFn
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas import _round_up
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas3 import (
+    make_grid_force_kernel3,
+)
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import SENTINEL_FACTOR
+
+
+@struct.dataclass
+class GridMD3State:
+    """All (ncx, C, P)-shaped leaves live permanently on device (see
+    grid_md.GridMDState — same contract, third coordinate added)."""
+
+    xg: jax.Array
+    yg: jax.Array
+    zg: jax.Array
+    vxg: jax.Array
+    vyg: jax.Array
+    vzg: jax.Array
+    fxg: jax.Array
+    fyg: jax.Array
+    fzg: jax.Array
+    occ: jax.Array  # float 1.0/0.0
+    pid: jax.Array  # int32 particle id, sentinel -1
+    dispx: jax.Array  # displacement since last rebuild
+    dispy: jax.Array
+    dispz: jax.Array
+    dmax2: jax.Array  # scalar running max of |disp|^2 since rebuild
+    overflow: jax.Array  # bool
+    time: jax.Array
+    # Kahan compensation residuals (compensated=True/"positions")
+    crx: Optional[jax.Array] = None
+    cry: Optional[jax.Array] = None
+    crz: Optional[jax.Array] = None
+    cvx: Optional[jax.Array] = None
+    cvy: Optional[jax.Array] = None
+    cvz: Optional[jax.Array] = None
+
+
+class GridMD3:
+    """Factory for the 3D grid-resident MD step functions."""
+
+    def __init__(
+        self,
+        grid_fn: CellGridFn,
+        sigma: float = 1.0,
+        epsilon: float = 1.0,
+        dt: float = 1e-3,
+        interpret: Optional[bool] = None,
+        compensated: bool = False,
+    ):
+        assert grid_fn.dim == 3, "GridMD3 is 3D (grid_md.GridMD covers 2D)"
+        self.compensated = compensated
+        self.grid_fn = grid_fn
+        self.cps = grid_fn.cells_per_side
+        self.cap = grid_fn.capacity
+        self.lanes = _round_up(self.cps * self.cps, 128)
+        self.box = grid_fn.box
+        self.skin = grid_fn.skin
+        self.n = grid_fn.n
+        self.dt = dt
+        self.sentinel = SENTINEL_FACTOR * float(grid_fn.box)
+        self.grid_shape = (self.cps, self.cap, self.lanes)
+        self.size = self.cps * self.cap * self.lanes
+        self.force_kernel = make_grid_force_kernel3(
+            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret
+        )
+        self.energy_kernel = make_grid_force_kernel3(
+            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret, with_energy=True
+        )
+
+    # -- layout helpers ------------------------------------------------------
+    def _slot3(self, position: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Flat grid slot for each particle + overflow flag."""
+        cps, cap = self.cps, self.cap
+        coords = jnp.clip(
+            (position // (self.box / cps)).astype(jnp.int32), 0, cps - 1
+        )
+        ids = (coords[:, 0] * cps + coords[:, 1]) * cps + coords[:, 2]
+        order = jnp.argsort(ids)
+        sorted_ids = ids[order]
+        seg = jnp.searchsorted(sorted_ids, sorted_ids, side="left")
+        rank = jnp.arange(ids.shape[0], dtype=jnp.int32) - seg.astype(jnp.int32)
+        overflow = jnp.any(rank >= cap)
+        rank = jnp.minimum(rank, cap - 1)
+        slot_sorted = sorted_ids * cap + rank  # (cell, a) flat
+        slot = jnp.zeros_like(ids).at[order].set(slot_sorted)
+        cell_id = slot // cap
+        aa = slot % cap
+        cx = cell_id // (cps * cps)
+        lane = cell_id % (cps * cps)  # cy*ncz + cz, the packed lane index
+        return (cx * cap + aa) * self.lanes + lane, overflow
+
+    def prepare(self, state: GridMD3State) -> GridMD3State:
+        """Placement hook (parity with GridMD.prepare)."""
+        return state
+
+    def init(self, position: jax.Array, velocity: jax.Array) -> GridMD3State:
+        slot, overflow = self._slot3(position)
+        dtype = position.dtype
+
+        def put(v, fill=0.0):
+            z = jnp.full((self.size,), fill, dtype)
+            return z.at[slot].set(v).reshape(self.grid_shape)
+
+        xg = put(position[:, 0], fill=self.sentinel)
+        yg = put(position[:, 1])
+        zg = put(position[:, 2])
+        vxg, vyg, vzg = (put(velocity[:, k]) for k in range(3))
+        occ = put(jnp.ones((self.n,), dtype))
+        pid = (
+            jnp.full((self.size,), -1, jnp.int32)
+            .at[slot]
+            .set(jnp.arange(self.n, dtype=jnp.int32))
+            .reshape(self.grid_shape)
+        )
+        fxg, fyg, fzg = self.force_kernel(xg, yg, zg)
+        zeros = jnp.zeros(self.grid_shape, dtype)
+        comp = (
+            dict(crx=zeros, cry=zeros, crz=zeros, cvx=zeros, cvy=zeros, cvz=zeros)
+            if self.compensated
+            else {}
+        )
+        return GridMD3State(
+            xg=xg, yg=yg, zg=zg, vxg=vxg, vyg=vyg, vzg=vzg,
+            fxg=fxg, fyg=fyg, fzg=fzg,
+            occ=occ, pid=pid, dispx=zeros, dispy=zeros, dispz=zeros,
+            dmax2=jnp.zeros((), dtype),
+            overflow=overflow, time=jnp.zeros((), dtype),
+            **comp,
+        )
+
+    # -- migration rebuild (sort-free) ----------------------------------------
+    def _rebuild_migrate(self, s: GridMD3State) -> GridMD3State:
+        """3D migration re-binning: between rebuilds every particle moved
+        < skin/2 < cell size, so its new cell is one of the 27 neighbors.
+        Runs in the unpacked 4D view (ncx, C, ncy, ncz) where ``jnp.roll``
+        is exactly periodic on every cell axis (the lane padding is sliced
+        off first and re-applied at the end) — unlike the 2D engine's padded
+        lane axis, no wrap-column patching is needed here. Otherwise
+        identical to grid_md.GridMD._rebuild_migrate (see its docstring for
+        the allocation argument)."""
+        cps, cap, box = self.cps, self.cap, self.box
+        g4 = (cps, cap, cps, cps)  # (cx, a, cy, cz)
+        live = cps * cps
+
+        def unpack(v):
+            return v[:, :, :live].reshape(g4)
+
+        occ4 = unpack(s.occ)
+        occ_b = occ4 > 0.5
+        xw = jnp.mod(unpack(s.xg), box)
+        yw = jnp.mod(unpack(s.yg), box)
+        zw = jnp.mod(unpack(s.zg), box)
+
+        cx = jax.lax.broadcasted_iota(jnp.int32, g4, 0)
+        cy = jax.lax.broadcasted_iota(jnp.int32, g4, 2)
+        cz = jax.lax.broadcasted_iota(jnp.int32, g4, 3)
+        cell = box / cps
+        txc = jnp.clip((xw // cell).astype(jnp.int32), 0, cps - 1)
+        tyc = jnp.clip((yw // cell).astype(jnp.int32), 0, cps - 1)
+        tzc = jnp.clip((zw // cell).astype(jnp.int32), 0, cps - 1)
+        dxc = (txc - cx + 1 + cps) % cps - 1
+        dyc = (tyc - cy + 1 + cps) % cps - 1
+        dzc = (tzc - cz + 1 + cps) % cps - 1
+        moved_far = occ_b & (
+            (jnp.abs(dxc) > 1) | (jnp.abs(dyc) > 1) | (jnp.abs(dzc) > 1)
+        )
+        overflow = s.overflow | jnp.any(moved_far)
+        dxc = jnp.where(moved_far, 0, dxc)
+        dyc = jnp.where(moved_far, 0, dyc)
+        dzc = jnp.where(moved_far, 0, dzc)
+
+        def roll_cells(v, dx, dy, dz):
+            shifts = [sh for sh in ((dx, 0), (dy, 2), (dz, 3)) if sh[0]]
+            if shifts:
+                v = jnp.roll(v, [sh[0] for sh in shifts], axis=[sh[1] for sh in shifts])
+            return v
+
+        dirs = [
+            (dx, dy, dz)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+        base_at_target = jnp.zeros((cps, 1, cps, cps), jnp.int32)
+        target_a = jnp.full(g4, -1, jnp.int32)
+        for dx, dy, dz in dirs:
+            m = occ_b & (dxc == dx) & (dyc == dy) & (dzc == dz)
+            m_i = m.astype(jnp.int32)
+            rank = jnp.cumsum(m_i, axis=1) - m_i  # exclusive, along slots
+            count = jnp.sum(m_i, axis=1, keepdims=True)
+            base_here = roll_cells(base_at_target, -dx, -dy, -dz)
+            target_a = jnp.where(m, base_here + rank, target_a)
+            base_at_target = base_at_target + roll_cells(count, dx, dy, dz)
+
+        slot_overflow = jnp.any((target_a >= cap) & occ_b)
+        overflow = overflow | slot_overflow
+
+        # flat destination in the PACKED layout; OOB -> dropped
+        tlane = tyc * cps + tzc
+        dest = ((txc * cap + target_a) * self.lanes + tlane).astype(jnp.int32)
+        dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
+        dest_flat = dest.reshape(-1)
+
+        # one packed (size, F) row-scatter (see grid_md.py: ~6x faster than
+        # per-field element scatters; pid rides along as f32, exact n < 2^24)
+        assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
+        dtype = s.xg.dtype
+        fields = [xw, yw, zw, unpack(s.vxg), unpack(s.vyg), unpack(s.vzg),
+                  unpack(s.fxg), unpack(s.fyg), unpack(s.fzg), occ4,
+                  unpack(s.pid).astype(dtype)]
+        fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
+        if s.crx is not None:
+            fields += [unpack(s.crx), unpack(s.cry), unpack(s.crz),
+                       unpack(s.cvx), unpack(s.cvy), unpack(s.cvz)]
+            fills += [0.0] * 6
+        vals = jnp.stack([v.reshape(-1) for v in fields], axis=-1)  # (live, F)
+        base = jnp.broadcast_to(
+            jnp.asarray(fills, dtype), (self.size + 1, len(fields))
+        )
+        out = base.at[dest_flat].set(vals, mode="drop", unique_indices=True)
+
+        def take(k):
+            return out[: self.size, k].reshape(self.grid_shape)
+
+        zeros = jnp.zeros(self.grid_shape, dtype)
+        comp = (
+            dict(crx=take(11), cry=take(12), crz=take(13),
+                 cvx=take(14), cvy=take(15), cvz=take(16))
+            if s.crx is not None
+            else {}
+        )
+        return s.replace(
+            xg=take(0), yg=take(1), zg=take(2),
+            vxg=take(3), vyg=take(4), vzg=take(5),
+            fxg=take(6), fyg=take(7), fzg=take(8),
+            occ=take(9),
+            pid=take(10).astype(jnp.int32),
+            dispx=zeros, dispy=zeros, dispz=zeros,
+            dmax2=jnp.zeros((), dtype),
+            overflow=overflow,
+            **comp,
+        )
+
+    # -- rebuild (sort-based oracle) ------------------------------------------
+    def _rebuild(self, s: GridMD3State) -> GridMD3State:
+        cps, cap = self.cps, self.cap
+        occ = s.occ.reshape(-1)
+        x = jnp.mod(s.xg, self.box).reshape(-1)
+        y = jnp.mod(s.yg, self.box).reshape(-1)
+        z = jnp.mod(s.zg, self.box).reshape(-1)
+        n_cells = cps * cps * cps
+
+        def cellc(v):
+            return jnp.clip((v // (self.box / cps)).astype(jnp.int32), 0, cps - 1)
+
+        ids = jnp.where(
+            occ > 0.5, (cellc(x) * cps + cellc(y)) * cps + cellc(z), n_cells
+        )
+        order = jnp.argsort(ids)
+        sorted_ids = ids[order]
+        seg = jnp.searchsorted(sorted_ids, sorted_ids, side="left")
+        rank = jnp.arange(self.size, dtype=jnp.int32) - seg.astype(jnp.int32)
+        real = sorted_ids < n_cells
+        overflow = s.overflow | jnp.any(real & (rank >= cap))
+        rank = jnp.minimum(rank, cap - 1)
+        cxs = sorted_ids // (cps * cps)
+        lane = sorted_ids % (cps * cps)
+        new_slot = (cxs * cap + rank) * self.lanes + lane
+        new_slot = jnp.where(real, new_slot, self.size)  # drop empties
+
+        def scat(v, fill=0.0, dtype=None):
+            vv = v.reshape(-1)[order]
+            out = jnp.full((self.size,), fill, dtype or v.dtype)
+            return out.at[new_slot].set(vv, mode="drop").reshape(self.grid_shape)
+
+        zeros = jnp.zeros(self.grid_shape, s.xg.dtype)
+        comp = (
+            dict(crx=scat(s.crx), cry=scat(s.cry), crz=scat(s.crz),
+                 cvx=scat(s.cvx), cvy=scat(s.cvy), cvz=scat(s.cvz))
+            if s.crx is not None
+            else {}
+        )
+        return s.replace(
+            xg=scat(x.reshape(self.grid_shape), fill=self.sentinel),
+            yg=scat(y.reshape(self.grid_shape)),
+            zg=scat(z.reshape(self.grid_shape)),
+            vxg=scat(s.vxg), vyg=scat(s.vyg), vzg=scat(s.vzg),
+            fxg=scat(s.fxg), fyg=scat(s.fyg), fzg=scat(s.fzg),
+            occ=scat(s.occ),
+            pid=scat(s.pid, fill=-1, dtype=jnp.int32),
+            dispx=zeros, dispy=zeros, dispz=zeros,
+            dmax2=jnp.zeros((), s.xg.dtype),
+            overflow=overflow,
+            **comp,
+        )
+
+    def _needs_rebuild(self, s: GridMD3State, frac: float = 0.5) -> jax.Array:
+        return s.dmax2 > (frac * self.skin) ** 2
+
+    # -- MD step ---------------------------------------------------------------
+    @staticmethod
+    def _kadd(x, c, inc):
+        y = inc - c
+        t = x + y
+        c = (t - x) - y
+        return t, c
+
+    def _make_window(self, force_fn, n_inner: int, reduce_max=None):
+        """Leapfrog window, 3D (see grid_md.GridMD._make_window — identical
+        scheme, one force call + one fused elementwise pass per step, skin
+        monitor via displacement accumulators, violation flagged at skin/2)."""
+        dt = self.dt
+        comp = bool(self.compensated)
+        pos_only = self.compensated == "positions"
+        kadd = self._kadd
+        if reduce_max is None:
+            reduce_max = lambda v: v
+
+        def window(s: GridMD3State) -> GridMD3State:
+            vhx = s.vxg + 0.5 * dt * s.fxg
+            vhy = s.vyg + 0.5 * dt * s.fyg
+            vhz = s.vzg + 0.5 * dt * s.fzg
+            dm0 = s.dispx**2 + s.dispy**2 + s.dispz**2
+            carry = (
+                s.xg, s.yg, s.zg, s.crx, s.cry, s.crz,
+                vhx, vhy, vhz, s.cvx, s.cvy, s.cvz,
+                s.dispx, s.dispy, s.dispz, dm0, s.fxg, s.fyg, s.fzg,
+            )
+
+            def body(i, c):
+                (x, y, z, crx, cry, crz, vhx, vhy, vhz, cvx, cvy, cvz,
+                 dpx, dpy, dpz, dm, fx, fy, fz) = c
+                incx, incy, incz = dt * vhx, dt * vhy, dt * vhz
+                if comp:
+                    x, crx = kadd(x, crx, incx)
+                    y, cry = kadd(y, cry, incy)
+                    z, crz = kadd(z, crz, incz)
+                else:
+                    x, y, z = x + incx, y + incy, z + incz
+                dpx, dpy, dpz = dpx + incx, dpy + incy, dpz + incz
+                dm = jnp.maximum(dm, dpx * dpx + dpy * dpy + dpz * dpz)
+                fx, fy, fz = force_fn(x, y, z)
+                if comp and not pos_only:
+                    vhx, cvx = kadd(vhx, cvx, dt * fx)
+                    vhy, cvy = kadd(vhy, cvy, dt * fy)
+                    vhz, cvz = kadd(vhz, cvz, dt * fz)
+                else:
+                    vhx, vhy, vhz = vhx + dt * fx, vhy + dt * fy, vhz + dt * fz
+                return (x, y, z, crx, cry, crz, vhx, vhy, vhz, cvx, cvy, cvz,
+                        dpx, dpy, dpz, dm, fx, fy, fz)
+
+            c = jax.lax.fori_loop(0, n_inner, body, carry)
+            (x, y, z, crx, cry, crz, vhx, vhy, vhz, cvx, cvy, cvz,
+             dpx, dpy, dpz, dm, fx, fy, fz) = c
+            dmax2 = reduce_max(jnp.max(dm))
+            violation = dmax2 > (0.5 * self.skin) ** 2
+            return s.replace(
+                xg=x, yg=y, zg=z,
+                vxg=vhx - 0.5 * dt * fx,
+                vyg=vhy - 0.5 * dt * fy,
+                vzg=vhz - 0.5 * dt * fz,
+                fxg=fx, fyg=fy, fzg=fz,
+                crx=crx, cry=cry, crz=crz, cvx=cvx, cvy=cvy, cvz=cvz,
+                dispx=dpx, dispy=dpy, dispz=dpz,
+                dmax2=dmax2,
+                overflow=s.overflow | violation,
+                time=s.time + n_inner * dt,
+            )
+
+        return window
+
+    def step_nocheck(self, s: GridMD3State) -> GridMD3State:
+        return self._make_window(self.force_kernel, 1)(s)
+
+    def step(self, s: GridMD3State) -> GridMD3State:
+        s = jax.lax.cond(self._needs_rebuild(s), self._rebuild_migrate, lambda t: t, s)
+        return self.step_nocheck(s)
+
+    def make_chunk_step(self, n_inner: int):
+        """``chunk(s) -> s``: one displacement-gated rebuild + a branch-free
+        n_inner-step leapfrog window (see grid_md.GridMD.make_chunk_step)."""
+        window = self._make_window(self.force_kernel, n_inner)
+
+        def chunk(s: GridMD3State) -> GridMD3State:
+            s = jax.lax.cond(
+                self._needs_rebuild(s, frac=0.25), self._rebuild_migrate, lambda t: t, s
+            )
+            return window(s)
+
+        return chunk
+
+    def auto_inner_steps(
+        self, kt: float = 1.0, vmax_sigmas: float = 8.0, gate_frac: float = 0.25
+    ) -> int:
+        """Maxwell-tail rebuild cadence (grid_md.GridMD.auto_inner_steps)."""
+        vmax = vmax_sigmas * kt**0.5
+        k = int(((0.5 - gate_frac) * self.skin) / (vmax * self.dt))
+        return max(1, k)
+
+    # -- observables / export ---------------------------------------------------
+    def kinetic_energy(self, s: GridMD3State) -> jax.Array:
+        return 0.5 * jnp.sum((s.vxg**2 + s.vyg**2 + s.vzg**2) * s.occ)
+
+    def potential_energy(self, s: GridMD3State) -> jax.Array:
+        _, _, _, e = self.energy_kernel(s.xg, s.yg, s.zg)
+        return 0.5 * jnp.sum(e)
+
+    def positions(self, s: GridMD3State) -> jax.Array:
+        """(N, 3) positions in particle order, wrapped into [0, box)."""
+        return self._gather3(s.xg, s.yg, s.zg, s.pid, wrap=True)
+
+    def velocities(self, s: GridMD3State) -> jax.Array:
+        return self._gather3(s.vxg, s.vyg, s.vzg, s.pid, wrap=False)
+
+    def forces(self, s: GridMD3State) -> jax.Array:
+        """(N, 3) reaction-folded total forces in particle order (testing /
+        sampling accessor — the hot loop never leaves the grid layout)."""
+        return self._gather3(s.fxg, s.fyg, s.fzg, s.pid, wrap=False)
+
+    def _gather3(self, a, b, c, pid, wrap: bool) -> jax.Array:
+        pid = pid.reshape(-1)
+        tgt = jnp.where(pid >= 0, pid, self.n)
+        out = jnp.zeros((self.n + 1, 3), a.dtype)
+        out = out.at[tgt, 0].set(a.reshape(-1), mode="drop")
+        out = out.at[tgt, 1].set(b.reshape(-1), mode="drop")
+        out = out.at[tgt, 2].set(c.reshape(-1), mode="drop")
+        out = out[: self.n]
+        return jnp.mod(out, self.box) if wrap else out
