@@ -95,10 +95,12 @@ def _timed_loop(ctx: BenchContext, op, args, cores: int, chain: str = "perturb")
         compiled = jax.jit(lambda x0, rest: jnp.sum(sharded(x0, rest)))
 
     x0, rest = args[0], list(args[1:])
-    _ = float(compiled(x0, rest))  # compile + warmup execution
+    # warmup = untimed executions (first one compiles); each covers ``steps``
+    # op iterations, so warmup=1 >= the reference's 10 iterations (:207-208).
+    for _ in range(max(1, ctx.cfg.warmup)):
+        _ = float(compiled(x0, rest))
     best = float("inf")
-    repeats = max(1, min(3, ctx.cfg.warmup))
-    for _ in range(repeats):
+    for _ in range(max(1, ctx.cfg.repeats)):
         start = time.perf_counter()
         _ = float(compiled(x0, rest))
         best = min(best, time.perf_counter() - start)
@@ -113,9 +115,30 @@ def _alloc_normal(key, cores: int, shape_per_core, dtype):
     return jax.vmap(lambda k: jax.random.normal(k, shape_per_core, dtype=dtype))(keys)
 
 
+def _xla_cost(op, args) -> dict:
+    """Roofline columns from the COMPILER's own counts (SURVEY.md §7 step 8):
+    lower + compile one bare op application and read ``cost_analysis()``.
+    The analytic formulas (flops.py) are the reference's spec; these are what
+    XLA actually scheduled — reported side by side so a number like "0.2
+    TFLOPS" for FFT can be seen for what it is (bandwidth-bound, not slow).
+    """
+    try:
+        c = jax.jit(op).lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):  # older jax: one dict per computation
+            c = c[0] if c else {}
+        out = {}
+        if c.get("flops"):
+            out["xla_flops"] = float(c["flops"])
+        if c.get("bytes accessed"):
+            out["xla_bytes"] = float(c["bytes accessed"])
+        return out
+    except Exception:  # pragma: no cover - backend-dependent
+        return {}
+
+
 def _run_op(
     ctx, name, cores, op, arg_maker,
-    flops_per_call=None, bytes_per_call=None, chain="perturb",
+    flops_per_call=None, bytes_per_call=None, chain="perturb", oom_hint="",
 ):
     try:
         args = arg_maker()
@@ -124,8 +147,8 @@ def _run_op(
     except Exception as e:  # noqa: BLE001
         if _is_oom(e):
             ctx.log(
-                f"[bench] OOM in {name} @ {cores} cores — skipping "
-                f"(reduce --matrix_size / --matrix_depth)"
+                f"[bench] OOM in {name} @ {cores} cores — skipping."
+                + (f" Try: {oom_hint}" if oom_hint else "")
             )
             return None
         ctx.log(f"[bench] error in {name} @ {cores} cores: {e}")
@@ -137,10 +160,23 @@ def _run_op(
         result["tflops"] = flops_per_call / avg / 1e12
     if bytes_per_call is not None:
         result["bandwidth_gbs"] = bytes_per_call / avg / (1024**3)
+    if cores == 1:  # per-device roofline (same compiled op at every core count)
+        cost = _xla_cost(op, args)
+        if "xla_flops" in cost:
+            result["xla_tflops"] = cost["xla_flops"] / avg / 1e12
+        if "xla_bytes" in cost:
+            result["xla_gbs"] = cost["xla_bytes"] / avg / (1024**3)
     ctx.log(
         f"[bench] {name:9s} cores={cores}: {avg * 1e3:9.3f} ms  "
         + (f"{result.get('tflops', 0):8.2f} TFLOPS" if flops_per_call else "")
         + (f"{result.get('bandwidth_gbs', 0):8.2f} GB/s" if bytes_per_call else "")
+        + (
+            f"  [xla: {result['xla_tflops']:.2f} TF"
+            + (f", {result['xla_gbs']:.0f} GB/s" if "xla_gbs" in result else "")
+            + "]"
+            if "xla_tflops" in result
+            else ""
+        )
     )
     return result
 
@@ -162,6 +198,7 @@ def benchmark_2d(ctx: BenchContext, cores: int):
     return _run_op(
         ctx, "2D", cores, ops_mod.op_2d, alloc,
         flops_per_call=flops_mod.matmul_chain_flops(n) * cores,
+        oom_hint=f"-mxs {n // 2} (or {n // 4}, {n // 8})",
     )
 
 
@@ -180,15 +217,24 @@ def benchmark_3d(ctx: BenchContext, cores: int):
             _alloc_normal(ky, cores, shape, ctx.precision),
         )
 
+    # concrete retry values, like the reference's 3D OOM handler (:313-321)
+    hint = " or ".join(
+        f"-md {cfg.matrix_depth // k}"
+        for k in (2, 4, 8)
+        if cfg.matrix_depth // k >= 1
+    )
     return _run_op(
         ctx, "3D", cores, ops_mod.op_3d, alloc,
         flops_per_call=flops_mod.matmul_chain_flops(cfg.matrix_size) * cfg.matrix_depth,
+        oom_hint=hint or f"-mxs {cfg.matrix_size // 2}",
     )
 
 
 def benchmark_conv(ctx: BenchContext, cores: int):
+    # Compute-bound by default (see BenchConfig docstring): the reference's
+    # never-run conv (8x64x64, cin=3) is latency-bound and starves the MXU.
     cfg = ctx.cfg
-    cin, cout, kh = 3, 64, 3
+    cin, cout, kh = cfg.conv_cin, cfg.conv_cout, 3
     x_shape = (cfg.batch_size, cfg.conv_size, cfg.conv_size, cin)
     k_shape = (kh, kh, cin, cout)
 
@@ -204,6 +250,7 @@ def benchmark_conv(ctx: BenchContext, cores: int):
         flops_per_call=flops_mod.conv_flops(
             cfg.batch_size, cfg.conv_size, kh, kh, cin, cout
         ) * cores,
+        oom_hint=f"-b {cfg.batch_size // 2} or -c {cfg.conv_size // 2}",
     )
 
 
@@ -217,6 +264,7 @@ def benchmark_fft_2d(ctx: BenchContext, cores: int):
     return _run_op(
         ctx, "2D_FFT", cores, op, alloc,
         flops_per_call=flops_mod.fft2d_flops(n) * cores,
+        oom_hint=f"-mxs {n // 2}",
     )
 
 
@@ -237,6 +285,7 @@ def benchmark_fft_3d(ctx: BenchContext, cores: int):
     return _run_op(
         ctx, "3D_FFT", cores, op, alloc,
         flops_per_call=flops_mod.fft3d_flops(n, cfg.matrix_depth),
+        oom_hint=f"-md {cfg.matrix_depth // 2} or -mxs {n // 2}",
     )
 
 

@@ -42,22 +42,34 @@ def _enable_compilation_cache() -> None:
 
 def _add_bench(sub):
     p = sub.add_parser("bench", help="TPU op benchmark suite (matmul/FFT/conv/bandwidth)")
-    p.add_argument("-w", "--warmup", type=int, default=10)
+    p.add_argument("-w", "--warmup", type=int, default=1,
+                   help="untimed executions of the fused timing loop (each = STEPS op iterations)")
+    p.add_argument("-r", "--repeats", type=int, default=3,
+                   help="timed executions per op (best-of)")
     p.add_argument("-m", "--steps", type=int, default=2500)
     p.add_argument("-mxs", "--matrix_size", type=int, default=4096)
     p.add_argument("-md", "--matrix_depth", type=int, default=6)
-    p.add_argument("-c", "--conv_size", type=int, default=64)
-    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("-c", "--conv_size", type=int, default=128)
+    p.add_argument("-b", "--batch_size", type=int, default=64)
+    p.add_argument("--conv_cin", type=int, default=32)
+    p.add_argument("--conv_cout", type=int, default=64)
     p.add_argument("--precision", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--max_cores", type=int, default=0)
     p.add_argument("--csv", type=str, default=None)
     p.add_argument("--plot", type=str, default="tpu_benchmark_results.png")
     p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--show", action="store_true",
+                   help="display figures interactively (reference plt.show() parity)")
+    p.add_argument("--manifest", type=str, default="bench_run_manifest.json",
+                   help="run-manifest JSON path ('' to disable)")
 
 
 def _add_md(sub):
     p = sub.add_parser("md", help="Lennard-Jones fluid MD")
     p.add_argument("--N", type=int, default=400)
+    p.add_argument("--dim", type=int, default=2, choices=[2, 3],
+                   help="2 (reference, molecular_dynamics...:26) or 3 "
+                        "(beyond-reference 3D engines)")
     p.add_argument("--rho", type=float, default=0.8)
     p.add_argument("--kT", type=float, default=1.0)
     p.add_argument("--dt", type=float, default=1e-3)
@@ -73,6 +85,37 @@ def _add_md(sub):
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR")
+    p.add_argument("--show", action="store_true",
+                   help="display the g(r) figure (reference molecular_dynamics...:190)")
+    p.add_argument("--manifest", type=str, default="md_run_manifest.json",
+                   help="run-manifest JSON path ('' to disable)")
+
+
+def _add_mdscale(sub):
+    p = sub.add_parser(
+        "mdscale",
+        help="multi-chip MD scaling sweep (strong/weak) with single-chip "
+             "trajectory parity checks",
+    )
+    p.add_argument("--N", type=int, default=100_000)
+    p.add_argument("--rho", type=float, default=0.8)
+    p.add_argument("--kT", type=float, default=1.0)
+    p.add_argument("--dt", type=float, default=1e-3)
+    p.add_argument("--cutoff", type=float, default=2.5)
+    p.add_argument("--mode", type=str, default="strong", choices=["strong", "weak"])
+    p.add_argument("--steps", type=int, default=200,
+                   help="timed steps per sweep point")
+    p.add_argument("--parity-steps", type=int, default=50,
+                   help="steps for the sharded-vs-single parity check (0 = skip)")
+    p.add_argument("--devices", type=int, nargs="+", default=None,
+                   help="mesh sizes to sweep (default: 1, powers of 2, max)")
+    p.add_argument("--virtual", type=int, default=0, metavar="D",
+                   help="run on D virtual CPU devices "
+                        "(xla_force_host_platform_device_count — validates the "
+                        "sharding until >1 real chip is attached)")
+    p.add_argument("--csv", type=str, default=None)
+    p.add_argument("--manifest", type=str, default="mdscale_run_manifest.json",
+                   help="run-manifest JSON path ('' to disable)")
 
 
 def _add_nbody(sub):
@@ -91,6 +134,8 @@ def _add_nbody(sub):
     p.add_argument("--no-media", action="store_true", help="skip GIF/WAV/plots")
     p.add_argument("--interactive", action="store_true",
                    help="prompt for parameters (reference behavior)")
+    p.add_argument("--manifest", type=str, default="nbody_run_manifest.json",
+                   help="run-manifest JSON path ('' to disable)")
 
 
 def _add_em3(sub):
@@ -104,6 +149,8 @@ def _add_em3(sub):
     p.add_argument("--Ey", type=float, default=0.0)
     p.add_argument("--integrator", type=str, default="boris", choices=["boris", "reference"])
     p.add_argument("--no-media", action="store_true")
+    p.add_argument("--manifest", type=str, default="em3_run_manifest.json",
+                   help="run-manifest JSON path ('' to disable)")
 
 
 def _add_vmc(sub):
@@ -118,8 +165,21 @@ def _add_vmc(sub):
     p.add_argument("--dim", type=int, default=3)
     p.add_argument("--resampler", type=str, default="systematic",
                    choices=["systematic", "multinomial"])
+    p.add_argument("--potential", type=str, default="harmonic",
+                   choices=["harmonic", "anharmonic"],
+                   help="anharmonic: V += lam*sum(x^4), generic autodiff "
+                        "local energy + {alpha, beta} trial wavefunction")
+    p.add_argument("--lam", type=float, default=0.2,
+                   help="quartic coupling (potential=anharmonic)")
     p.add_argument("--no-gif", action="store_true")
     p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--show", action="store_true",
+                   help="display figures interactively")
+    p.add_argument("--ckpt-dir", type=str, default=None,
+                   help="orbax checkpoint dir: resume the VMC optimization "
+                        "from the latest saved epoch")
+    p.add_argument("--manifest", type=str, default="vmc_run_manifest.json",
+                   help="run-manifest JSON path ('' to disable)")
 
 
 def cmd_bench(args) -> int:
@@ -137,11 +197,14 @@ def cmd_bench(args) -> int:
 
     cfg = cfgs.BenchConfig(
         warmup=max(0, args.warmup),
+        repeats=max(1, args.repeats),
         steps=max(1, args.steps),
         matrix_size=max(1, args.matrix_size),
         matrix_depth=max(1, args.matrix_depth),
         conv_size=max(1, args.conv_size),
         batch_size=max(1, args.batch_size),
+        conv_cin=max(1, args.conv_cin),
+        conv_cout=max(1, args.conv_cout),
         precision=args.precision,
         max_cores=args.max_cores,
     )
@@ -150,7 +213,9 @@ def cmd_bench(args) -> int:
         console.log("[yellow]No benchmark results collected.[/yellow]")
         return 1
     console.records_table(
-        "Benchmark Results", results, ["test", "cores", "tflops", "bandwidth_gbs", "avg_ms"]
+        "Benchmark Results",
+        results,
+        ["test", "cores", "tflops", "xla_tflops", "bandwidth_gbs", "xla_gbs", "avg_ms"],
     )
     if args.csv:
         write_csv(results, args.csv)
@@ -160,9 +225,19 @@ def cmd_bench(args) -> int:
             plot_benchmark_results,
         )
 
-        out = plot_benchmark_results(results, args.plot)
+        out = plot_benchmark_results(results, args.plot, show=args.show)
         console.log(f"Plot saved: {out}")
+    _write_manifest(args, "bench", cfg, {"results": results})
     return 0
+
+
+def _write_manifest(args, workload: str, cfg, results: dict) -> None:
+    path = getattr(args, "manifest", "")
+    if not path:
+        return
+    from jax_tpus_benchmark_physics_simulation_tpu.report.manifest import write_manifest
+
+    console.log(f"Manifest: {write_manifest(path, workload, cfg, results)}")
 
 
 def cmd_md(args) -> int:
@@ -173,6 +248,7 @@ def cmd_md(args) -> int:
     cfg = override(
         MDConfig(),
         n=args.N,
+        dim=args.dim,
         rho=args.rho,
         kt=args.kT,
         dt=args.dt,
@@ -197,7 +273,10 @@ def cmd_md(args) -> int:
             res = lj_fluid.run(cfg, ckpt_dir=getattr(args, "ckpt_dir", None))
         console.log(f"profiler trace: {args.profile} (view with tensorboard/xprof)")
     else:
-        res = lj_fluid.run(cfg, ckpt_dir=getattr(args, "ckpt_dir", None))
+        with console.progress() as prog:
+            res = lj_fluid.run(
+                cfg, ckpt_dir=getattr(args, "ckpt_dir", None), progress=prog
+            )
     console.records_table(
         "Simulation Summary",
         [
@@ -230,8 +309,65 @@ def cmd_md(args) -> int:
             f"note: g(r) estimated from a {res.rdf_subset}-particle random "
             f"subset of the {cfg.n:,} particles (unbiased, higher variance)."
         )
-    out = plot_rdf(res.rdf_r, res.rdf_g, cfg.n, cfg.rho, cfg.kt, args.output)
+    out = plot_rdf(res.rdf_r, res.rdf_g, cfg.n, cfg.rho, cfg.kt, args.output,
+                   show=getattr(args, "show", False))
     console.log(f"Plot saved: {out}")
+    _write_manifest(
+        args, "md", cfg,
+        {
+            "time_eq_s": res.time_eq_s,
+            "time_prod_s": res.time_prod_s,
+            "time_rdf_s": res.time_rdf_s,
+            "particle_steps_per_sec": res.particle_steps_per_sec,
+            "energy_drift": drift,
+            "overflow": res.overflow,
+            "rdf_subset": res.rdf_subset,
+        },
+    )
+    return 0
+
+
+def cmd_mdscale(args) -> int:
+    import jax
+
+    from jax_tpus_benchmark_physics_simulation_tpu.core.config import MDConfig, override
+    from jax_tpus_benchmark_physics_simulation_tpu.parallel.scaling import (
+        md_scaling_sweep,
+    )
+    from jax_tpus_benchmark_physics_simulation_tpu.report.export import write_csv
+
+    cfg = override(
+        MDConfig(), n=args.N, rho=args.rho, kt=args.kT, dt=args.dt,
+        cutoff=args.cutoff, init="lattice",  # sane start; uniform init's
+        # particle overlaps eject particles at skin-violating speeds
+    )
+    console.panel(
+        f"N={cfg.n:,}  mode={args.mode}  steps={args.steps}  "
+        f"devices available={jax.device_count()} ({jax.default_backend()})",
+        title="MD Scaling Sweep (sharded grid engine)",
+    )
+    rows = md_scaling_sweep(
+        cfg,
+        devices=args.devices,
+        mode=args.mode,
+        steps=args.steps,
+        parity_steps=args.parity_steps,
+        log=console.log,
+    )
+    if not rows:
+        console.log("[yellow]no sweep points ran[/yellow]")
+        return 1
+    console.records_table(
+        "MD Scaling", rows,
+        ["devices", "n", "ms_per_step", "psps", "efficiency_pct", "parity_ok"],
+    )
+    if args.csv:
+        write_csv(rows, args.csv)
+        console.log(f"CSV written: {args.csv}")
+    if any(r["parity_ok"] is False for r in rows):
+        console.log("[WARNING] sharded trajectory parity FAILED on some points")
+        return 1
+    _write_manifest(args, "mdscale", cfg, {"rows": rows})
     return 0
 
 
@@ -305,6 +441,10 @@ def cmd_nbody(args) -> int:
             "n_body_data.json",
         )
         console.log("Data: n_body_data.json")
+    _write_manifest(
+        args, "nbody", cfg,
+        {"sim_wall_s": res.sim_wall_s, "lyapunov": res.lyapunov},
+    )
     return 0
 
 
@@ -332,6 +472,7 @@ def cmd_em3(args) -> int:
         from jax_tpus_benchmark_physics_simulation_tpu.report.media import scatter_gif
 
         console.log(f"GIF: {scatter_gif(res.trajectory, 'three_particles_em_nonuni.gif')}")
+    _write_manifest(args, "em3", cfg, {"wall_time_s": res.wall_time_s})
     return 0
 
 
@@ -354,31 +495,46 @@ def cmd_vmc(args) -> int:
         dmc_dt=args.dmc_dt,
         dim=args.dim,
         resampler=args.resampler,
+        potential=args.potential,
+        lam=args.lam,
         snapshot_every=0 if args.no_gif else 25,
     )
+    pot = cfg.potential + (f" (lam={cfg.lam})" if cfg.potential == "anharmonic" else "")
     console.panel(
         f"walkers={cfg.n_walkers:,} dim={cfg.dim} epochs={cfg.n_epochs:,} "
         f"equil/epoch={cfg.n_equil}\nlr={cfg.lr} dmc_steps={cfg.n_dmc} "
-        f"dmc_dt={cfg.dmc_dt} resampler={cfg.resampler}",
+        f"dmc_dt={cfg.dmc_dt} resampler={cfg.resampler} potential={pot}",
         title="VMC + DMC (TPU-native)",
     )
-    res = quantum_oscillator.run(
-        cfg,
-        progress_cb=lambda e, en, al: console.log(
-            f"  epoch {e:5d}  E={en:9.6f}  alpha={al:.6f}"
-        ),
-    )
+    # live per-epoch-chunk E/alpha readout on a real progress bar (parity
+    # with the reference's bar + live readout, vmc_dmc...:133-154)
+    with console.progress() as prog:
+        task = prog.add_task(f"VMC ({cfg.n_epochs:,} epochs)", total=cfg.n_epochs)
+
+        def _tick(epoch, energy, alpha):
+            prog.update(
+                task,
+                completed=epoch,
+                description=f"VMC epoch {epoch:,}  E={energy:9.6f}  alpha={alpha:.6f}",
+            )
+
+        res = quantum_oscillator.run(
+            cfg, progress_cb=_tick, ckpt_dir=getattr(args, "ckpt_dir", None)
+        )
+    alpha_note = f"(exact {res.exact_alpha})" if res.exact_alpha is not None else "(no closed form)"
     console.log(
-        f"VMC  : E = {res.vmc_energy:.6f} (exact {res.exact_energy}), "
-        f"alpha = {res.vmc_alpha:.6f} (exact {res.exact_alpha})  "
+        f"VMC  : E = {res.vmc_energy:.6f} (exact {res.exact_energy:.6f}), "
+        f"alpha = {res.vmc_alpha:.6f} {alpha_note}  "
         f"[{res.vmc_wall_s:.1f}s]"
     )
     mean, err = res.dmc.mean_energy()
     console.log(
-        f"DMC  : E = {float(mean):.6f} +- {float(err):.6f} (exact {res.exact_energy})  "
+        f"DMC  : E = {float(mean):.6f} +- {float(err):.6f} (exact {res.exact_energy:.6f})  "
         f"[{res.dmc_wall_s:.1f}s]"
     )
     if not args.no_plot:
+        import jax
+
         from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (
             plot_walker_comparison,
         )
@@ -386,7 +542,8 @@ def cmd_vmc(args) -> int:
         console.log(
             "plots: "
             + plot_vmc_history(
-                res.vmc.energy_history, res.vmc.params_history,
+                res.vmc.energy_history,
+                jax.tree.leaves(res.vmc.params_history)[0],  # alpha track
                 res.exact_energy, res.exact_alpha,
             )
             + ", "
@@ -421,6 +578,19 @@ def cmd_vmc(args) -> int:
                 exact_sigma=1.0 / (2.0**0.5),
             )
             console.log(f"DMC GIF: {gif}")
+    _write_manifest(
+        args, "vmc", cfg,
+        {
+            "vmc_energy": res.vmc_energy,
+            "vmc_alpha": res.vmc_alpha,
+            "dmc_energy": float(mean),
+            "dmc_energy_err": float(err),
+            "exact_energy": res.exact_energy,
+            "exact_alpha": res.exact_alpha,
+            "vmc_wall_s": res.vmc_wall_s,
+            "dmc_wall_s": res.dmc_wall_s,
+        },
+    )
     return 0
 
 
@@ -445,6 +615,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
     _add_bench(sub)
     _add_md(sub)
+    _add_mdscale(sub)
     _add_nbody(sub)
     _add_em3(sub)
     _add_vmc(sub)
@@ -452,10 +623,21 @@ def main(argv=None) -> int:
     sub.add_parser("check-deps", help="verify required libraries")
 
     args = parser.parse_args(argv)
+    if getattr(args, "virtual", 0):
+        # must happen before ANY jax import; the env var JAX_PLATFORMS is
+        # overridden by some TPU plugins, so also pin via jax.config
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     _enable_compilation_cache()
     commands = {
         "bench": cmd_bench,
         "md": cmd_md,
+        "mdscale": cmd_mdscale,
         "nbody": cmd_nbody,
         "em3": cmd_em3,
         "vmc": cmd_vmc,

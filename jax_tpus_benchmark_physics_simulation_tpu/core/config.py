@@ -107,18 +107,39 @@ class VMCDMCConfig:
     epoch_chunk: int = 50  # epochs fused per device program (scan length)
     snapshot_every: int = 0  # 0 = no walker snapshots; >0 for GIF frames
     prng_impl: str = "auto"  # auto (rbg on TPU, 12x faster) | threefry | rbg
+    # potential: harmonic (reference) | anharmonic (V += lam*sum x^4, generic
+    # autodiff local energy + pytree {alpha, beta} trial — beyond reference)
+    potential: str = "harmonic"
+    lam: float = 0.2  # quartic coupling for potential="anharmonic"
 
 
 @dataclass(frozen=True)
 class BenchConfig:
-    """Op benchmark suite (tpus_benchmark...:28-47)."""
+    """Op benchmark suite (tpus_benchmark...:28-47).
 
-    warmup: int = 10
+    ``warmup`` means warmup (untimed executions of the fused timing loop;
+    one execution covers ``steps`` op iterations, so warmup=1 already exceeds
+    the reference's 10 warmup iterations at :29/:207-208). ``repeats`` is the
+    number of timed executions (best-of) — a separate flag, unlike round 1
+    which repurposed warmup as the repeat count.
+
+    Conv defaults: the reference defines but never runs its conv
+    (tpus_benchmark...:141-155, cin=3); at its 8x64x64x3 shape the op is
+    dispatch-latency-bound and cin=3 leaves the MXU's 128-wide contraction
+    ~2% utilized. Since there is no reference number to match, the default
+    problem is sized compute-bound (64x128x128x32 -> 64, ~39 GFLOP/call);
+    the analytic formula (flops.conv_flops) is exact for SAME/stride-1.
+    """
+
+    warmup: int = 1
+    repeats: int = 3
     steps: int = 2500
     matrix_size: int = 4096
     matrix_depth: int = 6
-    conv_size: int = 64
-    batch_size: int = 8
+    conv_size: int = 128
+    batch_size: int = 64
+    conv_cin: int = 32
+    conv_cout: int = 64
     precision: str = "float32"  # float32 | bfloat16
     max_cores: int = 0  # 0 = auto up to available
     csv: Optional[str] = None

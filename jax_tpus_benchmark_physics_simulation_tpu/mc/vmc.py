@@ -80,6 +80,7 @@ def run_vmc(
     key: Optional[jax.Array] = None,
     progress_cb: Optional[Callable[[int, float, float], None]] = None,
     walker_sharding=None,
+    ckpt_dir: Optional[str] = None,
 ) -> VMCResult:
     """Full VMC optimization. ``progress_cb(epoch, energy, alpha)`` is invoked
     once per device chunk (not per epoch) if given.
@@ -87,7 +88,14 @@ def run_vmc(
     ``walker_sharding``: optional ``NamedSharding`` splitting the walker axis
     over a device mesh — GSPMD shards the Metropolis sweeps and inserts the
     psum for the energy/gradient means; results are placement-invariant
-    (jax_threefry_partitionable gives identical random streams)."""
+    (jax_threefry_partitionable gives identical random streams).
+
+    ``ckpt_dir``: orbax checkpointing of the optimization carry
+    (walkers, params, key, opt_state) at chunk boundaries — a 3000-epoch run
+    (the reference default, vmc_dmc...:348) resumes from the latest epoch
+    instead of restarting (the resumability the reference lacks, SURVEY §5).
+    Histories in the returned result cover the epochs run in THIS process.
+    """
     if key is None:
         from jax_tpus_benchmark_physics_simulation_tpu.utils.prng import make_key
 
@@ -96,7 +104,13 @@ def run_vmc(
     walkers = random.normal(sub, (cfg.n_walkers, cfg.dim), dtype=jnp.float32)
     if walker_sharding is not None:
         walkers = jax.device_put(walkers, walker_sharding)
-    params = jnp.asarray(cfg.alpha_init, dtype=jnp.float32)
+    # models with richer trial wavefunctions provide their own params pytree
+    # (e.g. AnharmonicOscillator's {alpha, beta}); the reference model is a
+    # bare alpha scalar (vmc_dmc...:33-34)
+    if hasattr(model, "init_params"):
+        params = model.init_params(cfg.alpha_init)
+    else:
+        params = jnp.asarray(cfg.alpha_init, dtype=jnp.float32)
 
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
@@ -108,10 +122,28 @@ def run_vmc(
         return lax.scan(epoch_step, carry, length=n)
 
     chunk = max(1, cfg.epoch_chunk)
+    if cfg.snapshot_every:
+        # Snapshots are only observable at chunk boundaries; align the chunk
+        # so every requested snapshot epoch IS a boundary (gcd, not min: a
+        # snapshot_every not dividing the chunk would otherwise silently
+        # skip frames).
+        import math
+
+        chunk = math.gcd(chunk, cfg.snapshot_every)
     carry = (walkers, params, key, opt_state)
     e_hist, p_hist, g_hist, a_hist = [], [], [], []
     snapshots = []
     done = 0
+    if ckpt_dir is not None:
+        from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        step = latest_step(ckpt_dir)
+        if step is not None and 0 < step <= cfg.n_epochs:
+            carry = restore_checkpoint(ckpt_dir, carry, step)
+            done = step
     while done < cfg.n_epochs:
         n = min(chunk, cfg.n_epochs - done)
         carry, (es, ps, gs, accs) = run_chunk(carry, n)
@@ -122,17 +154,29 @@ def run_vmc(
         done += n
         if cfg.snapshot_every and (done % cfg.snapshot_every == 0 or done == cfg.n_epochs):
             snapshots.append(carry[0])
+        if ckpt_dir is not None and (done % (10 * chunk) == 0 or done == cfg.n_epochs):
+            from jax_tpus_benchmark_physics_simulation_tpu.ckpt import save_checkpoint
+
+            save_checkpoint(ckpt_dir, done, carry)
         if progress_cb is not None:
-            progress_cb(done, float(es[-1]), float(ps[-1]))
+            progress_cb(done, float(es[-1]), float(jax.tree.leaves(ps)[0][-1]))
+    if not e_hist:  # fully restored run: report current state once
+        carry2, (es, ps, gs, accs) = run_chunk(carry, 1)
+        e_hist, p_hist, g_hist, a_hist = [es], [ps], [gs], [accs]
+        carry = carry2
 
     walkers, params, key, opt_state = carry
+
+    def cat(chunks):  # params/grads may be pytrees (dict params)
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+
     return VMCResult(
         params=params,
         walkers=walkers,
         key=key,
         energy_history=jnp.concatenate(e_hist),
-        params_history=jnp.concatenate(p_hist),
-        grad_history=jnp.concatenate(g_hist),
+        params_history=cat(p_hist),
+        grad_history=cat(g_hist),
         accept_history=jnp.concatenate(a_hist),
         walker_snapshots=jnp.stack(snapshots) if snapshots else None,
     )

@@ -19,7 +19,10 @@ import jax
 
 from jax_tpus_benchmark_physics_simulation_tpu.core.config import VMCDMCConfig
 from jax_tpus_benchmark_physics_simulation_tpu.mc.dmc import DMCResult, run_dmc
-from jax_tpus_benchmark_physics_simulation_tpu.mc.models import HarmonicOscillator
+from jax_tpus_benchmark_physics_simulation_tpu.mc.models import (
+    AnharmonicOscillator,
+    HarmonicOscillator,
+)
 from jax_tpus_benchmark_physics_simulation_tpu.mc.vmc import VMCResult, run_vmc
 
 
@@ -28,7 +31,7 @@ class QuantumResult:
     vmc: VMCResult
     dmc: DMCResult
     exact_energy: float
-    exact_alpha: float
+    exact_alpha: Optional[float]
     vmc_wall_s: float
     dmc_wall_s: float
 
@@ -38,18 +41,29 @@ class QuantumResult:
 
     @property
     def vmc_alpha(self) -> float:
-        return float(self.vmc.params)
+        return float(jax.tree.leaves(self.vmc.params)[0])
+
+
+def make_model(cfg: VMCDMCConfig):
+    """Model dispatch: 'harmonic' is the reference (vmc_dmc...:30-47);
+    'anharmonic' is the beyond-reference generic-trial-psi path."""
+    if cfg.potential == "harmonic":
+        return HarmonicOscillator(dim=cfg.dim)
+    if cfg.potential == "anharmonic":
+        return AnharmonicOscillator(dim=cfg.dim, lam=cfg.lam)
+    raise ValueError(f"unknown potential: {cfg.potential!r}")
 
 
 def run(
     cfg: Optional[VMCDMCConfig] = None,
     progress_cb: Optional[Callable[[int, float, float], None]] = None,
+    ckpt_dir: Optional[str] = None,
 ) -> QuantumResult:
     cfg = cfg or VMCDMCConfig()
-    model = HarmonicOscillator(dim=cfg.dim)
+    model = make_model(cfg)
 
     t0 = time.perf_counter()
-    vmc_res = run_vmc(model, cfg, progress_cb=progress_cb)
+    vmc_res = run_vmc(model, cfg, progress_cb=progress_cb, ckpt_dir=ckpt_dir)
     jax.block_until_ready(vmc_res.energy_history)
     vmc_wall = time.perf_counter() - t0
 
@@ -62,7 +76,7 @@ def run(
     return QuantumResult(
         vmc=vmc_res,
         dmc=dmc_res,
-        exact_energy=model.exact_energy(),
+        exact_energy=model.exact_energy(),  # anharmonic: 1D diagonalization oracle
         exact_alpha=model.exact_params(),
         vmc_wall_s=vmc_wall,
         dmc_wall_s=dmc_wall,

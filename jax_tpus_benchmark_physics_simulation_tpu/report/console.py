@@ -7,6 +7,7 @@ check_deps.py:12-44 fallback pattern, minus its NameError bug at :103).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, List, Optional
 
 try:
@@ -67,3 +68,52 @@ def records_table(title: str, records: List[dict], columns: Optional[List[str]] 
         print(" | ".join(columns))
         for r in records:
             print(" | ".join(str(r.get(c, "")) for c in columns))
+
+
+class _NullProgress:
+    """Plain-text fallback: prints phase start/stop lines."""
+
+    def add_task(self, description: str, total: Optional[float] = None, **kw):
+        print(f"... {description}")
+        return description
+
+    def update(self, task, **kw):
+        pass
+
+    def advance(self, task, advance: float = 1):
+        pass
+
+
+@contextlib.contextmanager
+def progress(transient: bool = False):
+    """Live progress display (parity with the reference's rich bars/spinners,
+    nbody...:117-134, vmc_dmc...:133-154). Yields an object with
+    ``add_task/update/advance``; falls back to plain prints without rich.
+
+    Use ``total=None`` tasks for indeterminate phases (spinner only) — the
+    device-fused phases are single XLA programs, so there is nothing to tick
+    until they return; determinate bars are used where the host sees chunk
+    boundaries (VMC epoch chunks, MD sample blocks).
+    """
+    if not HAVE_RICH:
+        yield _NullProgress()
+        return
+    from rich.progress import (
+        BarColumn,
+        Progress,
+        SpinnerColumn,
+        TaskProgressColumn,
+        TextColumn,
+        TimeElapsedColumn,
+    )
+
+    with Progress(
+        SpinnerColumn(),
+        TextColumn("[progress.description]{task.description}"),
+        BarColumn(),
+        TaskProgressColumn(),
+        TimeElapsedColumn(),
+        console=_console,
+        transient=transient,
+    ) as p:
+        yield p

@@ -8,12 +8,25 @@ per-test colors/markers, point value labels, shared legend.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import matplotlib
 
-matplotlib.use("Agg")
+# Headless-safe default; an interactive backend survives when a display is
+# available so ``show=True`` (the reference's plt.show(),
+# molecular_dynamics...:190) can work. Override with MPLBACKEND.
+if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
+
+
+def _finish(fig, output, show: bool, **savefig_kw) -> str:
+    fig.savefig(output, **savefig_kw)
+    if show:  # no-op under Agg (headless); real display with a GUI backend
+        plt.show()
+    plt.close(fig)
+    return output
 import numpy as np
 
 STYLE_MAP = {
@@ -26,7 +39,7 @@ STYLE_MAP = {
 }
 
 
-def plot_benchmark_results(results: List[dict], output: str = "tpu_benchmark_results.png") -> Optional[str]:
+def plot_benchmark_results(results: List[dict], output: str = "tpu_benchmark_results.png", show: bool = False) -> Optional[str]:
     if not results:
         return None
     tests = sorted({r["test"] for r in results})
@@ -78,12 +91,11 @@ def plot_benchmark_results(results: List[dict], output: str = "tpu_benchmark_res
     handles.append(plt.Line2D([0], [0], color="gray", linestyle="--", label="Latency (ms)"))
     fig.legend(handles=handles, loc="lower center", bbox_to_anchor=(0.5, 0.01), ncol=min(len(handles), 4))
     fig.tight_layout(rect=[0, 0.05, 1, 0.95])
-    fig.savefig(output, dpi=150)
-    plt.close(fig)
+    _finish(fig, output, show, dpi=150)
     return output
 
 
-def plot_rdf(r, g, n, rho, kt, output: str = "g_r_plot.png") -> str:
+def plot_rdf(r, g, n, rho, kt, output: str = "g_r_plot.png", show: bool = False) -> str:
     """RDF figure (reference molecular_dynamics...:179-189 layout)."""
     fig = plt.figure(figsize=(10, 6))
     plt.plot(np.asarray(r), np.asarray(g), marker="o", markersize=4, linestyle="-")
@@ -92,8 +104,7 @@ def plot_rdf(r, g, n, rho, kt, output: str = "g_r_plot.png") -> str:
     plt.ylabel("g(r)")
     plt.grid(True, linestyle="--", alpha=0.6)
     plt.axhline(1.0, color="grey", linestyle="--")
-    plt.savefig(output, dpi=300, bbox_inches="tight")
-    plt.close(fig)
+    _finish(fig, output, show, dpi=300, bbox_inches="tight")
     return output
 
 
@@ -138,7 +149,9 @@ def plot_vmc_history(energies, alphas, exact_e, exact_alpha, output: str = "vmc_
     ax1.legend()
     ax1.set_title("VMC Optimization")
     ax2.plot(np.asarray(alphas), label=r"$\alpha$")
-    ax2.axhline(exact_alpha, color="r", linestyle="--", label=rf"Exact $\alpha = {exact_alpha}$")
+    if exact_alpha is not None:  # no closed-form optimum for anharmonic trials
+        ax2.axhline(exact_alpha, color="r", linestyle="--",
+                    label=rf"Exact $\alpha = {exact_alpha}$")
     ax2.set_xlabel("Epoch")
     ax2.set_ylabel(r"$\alpha$")
     ax2.legend()

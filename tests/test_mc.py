@@ -174,3 +174,58 @@ def test_quantum_workload_end_to_end():
     assert abs(res.vmc_alpha - 0.5) < 0.1
     mean, _ = res.dmc.mean_energy(burn_in=50)
     assert abs(float(mean) - 1.0) < 0.1  # E_0 = D/2 = 1.0 for dim=2
+
+
+class TestAnharmonic:
+    """Beyond-reference model: V += lam*sum(x^4), autodiff local energy,
+    pytree {alpha, beta} trial (VERDICT round 1, item 9)."""
+
+    def test_local_energy_matches_generic_formula(self):
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.models import (
+            AnharmonicOscillator,
+        )
+
+        m = AnharmonicOscillator(dim=2, lam=0.3)
+        params = m.init_params(0.6)
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+        e = m.local_energy(params, x)
+        # hand-derived check: for log psi = -a r^2 - b sum x^4,
+        # grad_i = -2a x_i - 4b x_i^3; lap = sum(-2a - 12 b x_i^2)
+        a, b = params["alpha"], params["beta"]
+        g = -2 * a * x - 4 * b * x**3
+        lap = jnp.sum(-2 * a - 12 * b * x**2, axis=-1)
+        v = 0.5 * jnp.sum(x**2, axis=-1) + 0.3 * jnp.sum(x**4, axis=-1)
+        expected = -0.5 * (lap + jnp.sum(g * g, axis=-1)) + v
+        np.testing.assert_allclose(np.asarray(e), np.asarray(expected), rtol=1e-5)
+
+    def test_oracle_limits(self):
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.models import (
+            anharmonic_ground_state_1d,
+        )
+
+        # lam -> 0 recovers the harmonic E_0 = 0.5
+        assert abs(anharmonic_ground_state_1d(0.0) - 0.5) < 1e-4
+        # monotone in lam (stiffer well raises the ground state)
+        assert anharmonic_ground_state_1d(0.3) > anharmonic_ground_state_1d(0.1)
+
+    def test_vmc_dmc_converge_to_diagonalization_oracle(self):
+        cfg = override(
+            VMCDMCConfig(),
+            potential="anharmonic",
+            lam=0.2,
+            dim=1,
+            n_walkers=1000,
+            n_epochs=200,
+            n_equil=10,
+            epoch_chunk=50,
+            lr=0.05,
+            n_dmc=150,
+            prng_impl="threefry",
+        )
+        res = quantum_oscillator.run(cfg)
+        assert res.exact_alpha is None
+        assert abs(res.vmc_energy - res.exact_energy) < 2e-2
+        mean, _ = res.dmc.mean_energy()
+        assert abs(float(mean) - res.exact_energy) < 1e-2
+        # beta learned away from its init (the quartic term is being used)
+        assert float(res.vmc.params["beta"]) != 0.05

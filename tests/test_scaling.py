@@ -1,0 +1,29 @@
+"""MD scaling harness (parallel/scaling.py): sweep rows, efficiency math,
+and the sharded-vs-single parity check — on the virtual CPU mesh (conftest
+forces 8 devices)."""
+
+from jax_tpus_benchmark_physics_simulation_tpu.core.config import MDConfig, override
+from jax_tpus_benchmark_physics_simulation_tpu.parallel.scaling import (
+    _round_to_divisible_n,
+    md_scaling_sweep,
+)
+
+
+def test_round_to_divisible_n():
+    cfg = override(MDConfig(), cutoff=2.5, rho=0.5)
+    n = _round_to_divisible_n(8000, cfg, [1, 2, 4])
+    cell = cfg.cutoff + cfg.skin
+    box = (n / cfg.rho) ** 0.5
+    cps = int(box / cell)
+    assert cps % 4 == 0 and n <= 8000
+
+
+def test_strong_scaling_sweep_with_parity():
+    base = override(
+        MDConfig(), n=3000, rho=0.4, cutoff=2.5, dt=1e-3, init="lattice"
+    )
+    rows = md_scaling_sweep(base, devices=[1, 2], steps=20, parity_steps=20)
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[0]["n"] == rows[1]["n"]  # strong: fixed N
+    assert rows[1]["parity_ok"] is True
+    assert rows[0]["psps"] > 0
