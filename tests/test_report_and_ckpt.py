@@ -126,3 +126,84 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             np.asarray(cont.position), np.asarray(full.position), rtol=1e-6
         )
+
+
+class TestVMCCheckpoint:
+    def test_vmc_resume_continues_from_saved_epoch(self, tmp_path):
+        """A 100-epoch run checkpointed at chunk boundaries resumes: a fresh
+        process asking for 100 epochs restores epoch 100 and runs only the
+        report chunk (round-1 VERDICT item 6)."""
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+            VMCDMCConfig,
+            override,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.models import (
+            HarmonicOscillator,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.vmc import run_vmc
+
+        cfg = override(
+            VMCDMCConfig(),
+            n_walkers=256,
+            n_epochs=100,
+            n_equil=5,
+            epoch_chunk=10,
+            prng_impl="threefry",
+        )
+        model = HarmonicOscillator(dim=2)
+        ck = str(tmp_path / "vmc_ck")
+        res1 = run_vmc(model, cfg, ckpt_dir=ck)
+        assert res1.energy_history.shape == (100,)
+
+        from jax_tpus_benchmark_physics_simulation_tpu.ckpt import latest_step
+
+        assert latest_step(ck) == 100
+        # resume: fully-restored run reports one epoch of history, params
+        # close to the converged run's params
+        res2 = run_vmc(model, cfg, ckpt_dir=ck)
+        assert res2.energy_history.shape == (1,)
+        import numpy as np
+
+        np.testing.assert_allclose(
+            float(res2.params), float(res1.params), atol=5e-2
+        )
+
+    def test_vmc_partial_resume(self, tmp_path):
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+            VMCDMCConfig,
+            override,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.models import (
+            HarmonicOscillator,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.vmc import run_vmc
+
+        model = HarmonicOscillator(dim=2)
+        ck = str(tmp_path / "vmc_ck")
+        short = override(
+            VMCDMCConfig(), n_walkers=256, n_epochs=10, n_equil=5,
+            epoch_chunk=1, prng_impl="threefry",
+        )
+        run_vmc(model, short, ckpt_dir=ck)  # saves at epoch 10 (final)
+        longer = override(short, n_epochs=30)
+        res = run_vmc(model, longer, ckpt_dir=ck)
+        # resumed at 10, ran 20 more
+        assert res.energy_history.shape == (20,)
+
+
+class TestManifest:
+    def test_write_manifest(self, tmp_path):
+        import json
+
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import MDConfig
+        from jax_tpus_benchmark_physics_simulation_tpu.report.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "m.json")
+        out = write_manifest(p, "md", MDConfig(), {"psps": 1.5e8, "ok": True})
+        doc = json.load(open(out))
+        assert doc["workload"] == "md"
+        assert doc["config"]["n"] == 400
+        assert doc["results"]["psps"] == 1.5e8
+        assert "devices" in doc and "timestamp_utc" in doc
