@@ -357,7 +357,7 @@ class GridMD:
         conservative versus an exact current-displacement check, never
         unsafe (peaks were checked against the violation threshold when they
         happened)."""
-        return s.dmax2 > (frac * self.skin) ** 2
+        return ~(s.dmax2 <= (frac * self.skin) ** 2)
 
     # -- MD step ---------------------------------------------------------------
     @staticmethod
@@ -424,7 +424,10 @@ class GridMD:
             c = jax.lax.fori_loop(0, n_inner, body, carry)
             x, y, crx, cry, vhx, vhy, cvx, cvy, dpx, dpy, dm, fx, fy = c
             dmax2 = reduce_max(jnp.max(dm))
-            violation = dmax2 > (0.5 * self.skin) ** 2
+            # NaN-safe: a NaN displacement (diverged physics, e.g. the
+            # reference's overlapping uniform init) must TRIP the flag,
+            # not slip past it (NaN > t is False; ~(NaN <= t) is True)
+            violation = ~(dmax2 <= (0.5 * self.skin) ** 2)
             return s.replace(
                 xg=x, yg=y,
                 vxg=vhx - 0.5 * dt * fx,

@@ -323,7 +323,7 @@ class GridMD3:
         )
 
     def _needs_rebuild(self, s: GridMD3State, frac: float = 0.5) -> jax.Array:
-        return s.dmax2 > (frac * self.skin) ** 2
+        return ~(s.dmax2 <= (frac * self.skin) ** 2)
 
     # -- MD step ---------------------------------------------------------------
     @staticmethod
@@ -381,7 +381,10 @@ class GridMD3:
             (x, y, z, crx, cry, crz, vhx, vhy, vhz, cvx, cvy, cvz,
              dpx, dpy, dpz, dm, fx, fy, fz) = c
             dmax2 = reduce_max(jnp.max(dm))
-            violation = dmax2 > (0.5 * self.skin) ** 2
+            # NaN-safe: a NaN displacement (diverged physics, e.g. the
+            # reference's overlapping uniform init) must TRIP the flag,
+            # not slip past it (NaN > t is False; ~(NaN <= t) is True)
+            violation = ~(dmax2 <= (0.5 * self.skin) ** 2)
             return s.replace(
                 xg=x, yg=y, zg=z,
                 vxg=vhx - 0.5 * dt * fx,

@@ -87,6 +87,10 @@ class TestSweep:
         assert cores_seen == {1, 2}
         for r in results:
             assert r["avg_ms"] > 0
+        # roofline columns: XLA-counted FLOPs next to the reference formulas
+        # (cores=1 rows; backend-dependent, but CPU cost_analysis provides them)
+        matmul_1core = [r for r in results if r["test"] == "2D" and r["cores"] == 1]
+        assert matmul_1core and "xla_tflops" in matmul_1core[0]
 
         # export + plot round trip
         from jax_tpus_benchmark_physics_simulation_tpu.report.export import write_csv

@@ -141,6 +141,17 @@ class TestGridMD3:
         assert not bool(gs.overflow)
         assert np.all(np.isfinite(np.asarray(md.positions(gs))))
 
+    def test_nan_state_trips_overflow(self):
+        """Diverged physics (NaN positions, e.g. the reference's overlapping
+        uniform init) must trip the violation flag, not sail past the NaN-
+        poisoned displacement monitor."""
+        box, pos, vel, md = setup()
+        gs = md.init(pos, vel)
+        gs = gs.replace(vxg=gs.vxg * jnp.nan)
+        chunk = md.make_chunk_step(5)
+        gs = chunk(gs)
+        assert bool(gs.overflow)
+
 
 class TestLJFluid3DGridDispatch:
     def test_auto_resolves_grid_in_3d(self):
