@@ -136,6 +136,9 @@ def _add_nbody(sub):
                    help="prompt for parameters (reference behavior)")
     p.add_argument("--manifest", type=str, default="nbody_run_manifest.json",
                    help="run-manifest JSON path ('' to disable)")
+    p.add_argument("--ckpt-dir", type=str, default=None,
+                   help="orbax checkpoint dir: completed trajectories are "
+                        "restored on re-run (re-plot without recompute)")
 
 
 def _add_em3(sub):
@@ -408,8 +411,11 @@ def cmd_nbody(args) -> int:
         f"D_gw={cfg.d_gw_mpc} Mpc",
         title="N-Body BH Merger (TPU-native)",
     )
-    res = nbody_merger.run(cfg)
-    console.log(f"simulation: {res.sim_wall_s * 1000:.2f} ms (one fused device program)")
+    res = nbody_merger.run(cfg, ckpt_dir=getattr(args, "ckpt_dir", None))
+    if res.sim_wall_s == 0.0:
+        console.log("trajectory restored from checkpoint (simulation skipped)")
+    else:
+        console.log(f"simulation: {res.sim_wall_s * 1000:.2f} ms (one fused device program)")
     if res.lyapunov is not None:
         console.log(
             f"Lyapunov exponent ({cfg.lyapunov_method}): {res.lyapunov:.3f} "

@@ -136,19 +136,53 @@ class NBodyResult:
     sim_wall_s: float
 
 
-def run(cfg: Optional[NBodyConfig] = None) -> NBodyResult:
+def run(cfg: Optional[NBodyConfig] = None, ckpt_dir: Optional[str] = None) -> NBodyResult:
+    """``ckpt_dir``: orbax-checkpoint the completed trajectory bundle — a
+    re-run with the same dir restores it and skips the simulation entirely
+    (re-plot / re-export without recompute; the resumability the reference
+    lacks, SURVEY.md §5)."""
     cfg = cfg or NBodyConfig()
     masses = jnp.asarray(cfg.masses, dtype=jnp.float32)
     y0 = init_state_flat(cfg)
 
-    # warmup compile (reference discipline, nbody...:117-121)
-    out = simulate_with_waveform(cfg, y0, masses)
-    jax.block_until_ready(out)
+    restored = None
+    if ckpt_dir is not None:
+        from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
+            latest_step,
+            restore_checkpoint,
+        )
 
-    t0 = time.perf_counter()
-    ys, t, positions_t, h_plus = simulate_with_waveform(cfg, y0, masses)
-    jax.block_until_ready(h_plus)
-    wall = time.perf_counter() - t0
+        if latest_step(ckpt_dir) == cfg.num_steps:
+            n = cfg.n_bodies
+            tmpl = dict(
+                ys=jnp.zeros((cfg.num_steps + 1, 4 * n), jnp.float32),
+                t=jnp.zeros((cfg.num_steps + 1,), jnp.float32),
+                positions=jnp.zeros((cfg.num_steps + 1, n, 2), jnp.float32),
+                h_plus=jnp.zeros((cfg.num_steps + 1,), jnp.float32),
+            )
+            restored = restore_checkpoint(ckpt_dir, tmpl, cfg.num_steps)
+
+    if restored is not None:
+        ys, t = restored["ys"], restored["t"]
+        positions_t, h_plus = restored["positions"], restored["h_plus"]
+        wall = 0.0
+    else:
+        # warmup compile (reference discipline, nbody...:117-121)
+        out = simulate_with_waveform(cfg, y0, masses)
+        jax.block_until_ready(out)
+
+        t0 = time.perf_counter()
+        ys, t, positions_t, h_plus = simulate_with_waveform(cfg, y0, masses)
+        jax.block_until_ready(h_plus)
+        wall = time.perf_counter() - t0
+        if ckpt_dir is not None:
+            from jax_tpus_benchmark_physics_simulation_tpu.ckpt import save_checkpoint
+
+            save_checkpoint(
+                ckpt_dir,
+                cfg.num_steps,
+                dict(ys=ys, t=t, positions=positions_t, h_plus=h_plus),
+            )
 
     lyap = None
     if cfg.compute_chaos:

@@ -167,3 +167,24 @@ def test_run_end_to_end():
     assert res.h_plus.shape == (51,)
     assert res.lyapunov is not None and np.isfinite(res.lyapunov)
     assert np.all(np.isfinite(np.asarray(res.h_plus)))
+
+
+def test_nbody_checkpoint_restore(tmp_path):
+    """Completed trajectory restores from the checkpoint dir (simulation
+    skipped on re-run) — round-1 VERDICT item 6."""
+    from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+        NBodyConfig,
+        override,
+    )
+    from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger
+
+    cfg = override(NBodyConfig(), num_steps=50, compute_chaos=False)
+    ck = str(tmp_path / "nb")
+    r1 = nbody_merger.run(cfg, ckpt_dir=ck)
+    assert r1.sim_wall_s > 0
+    r2 = nbody_merger.run(cfg, ckpt_dir=ck)
+    assert r2.sim_wall_s == 0.0
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(r2.h_plus), np.asarray(r1.h_plus))
+    np.testing.assert_allclose(np.asarray(r2.positions), np.asarray(r1.positions))
