@@ -97,28 +97,57 @@ class GridMD:
         dt: float = 1e-3,
         interpret: Optional[bool] = None,
         compensated: bool = False,
+        rows_per_block: Optional[int] = None,
     ):
         assert grid_fn.dim == 2, "grid-resident MD is 2D (grid_md3 covers 3D)"
         self.compensated = compensated
         self.grid_fn = grid_fn
         self.cps = grid_fn.cells_per_side
         self.cap = grid_fn.capacity
-        self.lanes = _round_up(self.cps, 128)
         self.box = grid_fn.box
         self.skin = grid_fn.skin
         self.n = grid_fn.n
         self.dt = dt
         self.sentinel = SENTINEL_FACTOR * float(grid_fn.box)
-        self.grid_shape = (self.cps, self.cap, self.lanes)
-        self.size = self.cps * self.cap * self.lanes
+        # Lane packing: R consecutive cell rows share one lane vector —
+        # layout (cps/R, C, round_up(R*cps, 128)). R=1 is the base layout;
+        # auto-packing kicks in when cps is far from a 128 multiple (e.g.
+        # N=16k: cps=49 -> R=7, lane utilization 38% -> 90%). See
+        # cell_pallas_packed.py.
+        if rows_per_block is None:
+            from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas_packed import (
+                choose_rows_per_block,
+            )
+
+            rows_per_block = choose_rows_per_block(self.cps)
+        assert self.cps % rows_per_block == 0, (
+            f"rows_per_block {rows_per_block} must divide cells_per_side {self.cps}"
+        )
+        self.rows_per_block = rows_per_block
+        self.n_blocks = self.cps // rows_per_block
+        self.lanes = _round_up(rows_per_block * self.cps, 128)
+        self.grid_shape = (self.n_blocks, self.cap, self.lanes)
+        self.size = self.n_blocks * self.cap * self.lanes
         # hot-path kernel: forces only; energy kernel: built the same way,
         # called only at sampling points (potential_energy).
-        self.force_kernel = make_grid_force_kernel(
-            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret
-        )
-        self.energy_kernel = make_grid_force_kernel(
-            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret, with_energy=True
-        )
+        if rows_per_block > 1:
+            from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas_packed import (
+                make_grid_force_kernel_packed,
+            )
+
+            def mk(**kw):
+                return make_grid_force_kernel_packed(
+                    grid_fn, rows_per_block, sigma=sigma, epsilon=epsilon,
+                    interpret=interpret, **kw,
+                )
+        else:
+            def mk(**kw):
+                return make_grid_force_kernel(
+                    grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret, **kw
+                )
+
+        self.force_kernel = mk()
+        self.energy_kernel = mk(with_energy=True)
 
     # -- layout helpers ------------------------------------------------------
     def _slot2(self, position: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -136,12 +165,14 @@ class GridMD:
         rank = jnp.minimum(rank, cap - 1)
         slot_sorted = sorted_ids * cap + rank  # (cell, a) flat
         slot = jnp.zeros_like(ids).at[order].set(slot_sorted)
-        # map (cell_id, a) -> (cx, a, cy) grid layout flat index
+        # map (cell_id, a) -> (block, a, r*ncy + cy) packed-grid flat index
         cell_id = slot // cap
         aa = slot % cap
         cx = cell_id // cps
         cy = cell_id % cps
-        return (cx * cap + aa) * self.lanes + cy, overflow
+        rpb = self.rows_per_block
+        lane = (cx % rpb) * cps + cy
+        return ((cx // rpb) * cap + aa) * self.lanes + lane, overflow
 
     def prepare(self, state: GridMDState) -> GridMDState:
         """Placement hook (ShardedGridMD shards here; base is identity)."""
@@ -188,6 +219,7 @@ class GridMD:
         silent). Coordinates are wrapped back into [0, box) here (the only
         place they ever are) and empty slots re-filled with the sentinel."""
         cps, cap, lanes, box = self.cps, self.cap, self.lanes, self.box
+        rpb = self.rows_per_block
         gs = self.grid_shape
         occ_b = s.occ > 0.5
 
@@ -197,9 +229,12 @@ class GridMD:
         xw = jnp.mod(s.xg, box)
         yw = jnp.mod(s.yg, box)
 
-        # current cell coords of each slot (by construction of the layout)
-        cx = jax.lax.broadcasted_iota(jnp.int32, gs, 0)
-        cy = jax.lax.broadcasted_iota(jnp.int32, gs, 2)
+        # current cell coords of each slot (by construction of the packed
+        # layout: physical row = block*R + lane//ncy, column = lane % ncy;
+        # padding lanes give garbage rows, gated by occ_b everywhere below)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, gs, 2)
+        cx = jax.lax.broadcasted_iota(jnp.int32, gs, 0) * rpb + lane_i // cps
+        cy = lane_i % cps
         # target cell coords from positions
         cell = box / cps
         txc = jnp.clip((xw // cell).astype(jnp.int32), 0, cps - 1)
@@ -214,19 +249,32 @@ class GridMD:
         dyc = jnp.where(moved_far, 0, dyc)
 
         def roll_cells(v, dx, dy):
-            """Periodic shift by (dx, dy) CELLS: out[cx, :, cy] =
-            v[(cx - dx) % cps, :, (cy - dy) % cps]. The lane axis is padded to
-            ``lanes`` > cps, so the y-wrap column is patched explicitly."""
-            out = jnp.roll(v, dx, axis=0) if dx else v
+            """Periodic shift by (dx, dy) CELLS on the packed layout:
+            out[X, :, Y] = v[(X - dx) % cps, :, (Y - dy) % cps] in physical
+            (row, column) coordinates. Column shifts roll within sub-rows
+            (wrap column patched); row shifts roll the lane axis by one
+            sub-row, with the block-crossing sub-row patched from a
+            block-axis roll. Every lane that would read padding is exactly a
+            patched one; padding lanes themselves carry garbage, which every
+            consumer gates on occ_b / m."""
+            col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
             if dy:
-                rolled = jnp.roll(out, dy, axis=2)
-                col = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
+                rolled = jnp.roll(v, dy, axis=2)
                 if dy == 1:
-                    rolled = jnp.where(col == 0, out[..., cps - 1 : cps], rolled)
+                    patch = jnp.roll(v, -(cps - 1), axis=2)
+                    rolled = jnp.where(col % cps == 0, patch, rolled)
                 else:
-                    rolled = jnp.where(col == cps - 1, out[..., 0:1], rolled)
-                out = rolled
-            return out
+                    patch = jnp.roll(v, cps - 1, axis=2)
+                    rolled = jnp.where(col % cps == cps - 1, patch, rolled)
+                v = rolled
+            if dx:
+                main = jnp.roll(v, dx * cps, axis=2)
+                cross = jnp.roll(
+                    jnp.roll(v, dx, axis=0), -dx * (rpb - 1) * cps, axis=2
+                )
+                sub = col // cps
+                v = jnp.where(sub == (0 if dx == 1 else rpb - 1), cross, main)
+            return v
 
         dirs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
         # Allocation: per target cell, classes land in fixed order (stayers
@@ -234,13 +282,13 @@ class GridMD:
         # of all earlier classes. A target receives movers of direction d
         # from exactly one source cell (t - d), so a mover's in-class rank at
         # the target equals its rank within its source cell's class.
-        base_at_target = jnp.zeros((cps, 1, lanes), jnp.int32)
+        base_at_target = jnp.zeros((self.n_blocks, 1, lanes), jnp.int32)
         target_a = jnp.full(gs, -1, jnp.int32)
         for dx, dy in dirs:
             m = occ_b & (dxc == dx) & (dyc == dy)
             m_i = m.astype(jnp.int32)
             rank = jnp.cumsum(m_i, axis=1) - m_i  # exclusive, along slots
-            count = jnp.sum(m_i, axis=1, keepdims=True)  # (cps, 1, lanes) source frame
+            count = jnp.sum(m_i, axis=1, keepdims=True)  # source frame
             # base, expressed at the source cell: value at target t = s + d
             base_here = roll_cells(base_at_target, -dx, -dy)
             target_a = jnp.where(m, base_here + rank, target_a)
@@ -251,7 +299,9 @@ class GridMD:
         overflow = overflow | slot_overflow
 
         # flat destination index (in target frame); OOB -> dropped
-        dest = ((txc * cap + target_a) * lanes + tyc).astype(jnp.int32)
+        dest = (
+            ((txc // rpb) * cap + target_a) * lanes + (txc % rpb) * cps + tyc
+        ).astype(jnp.int32)
         dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
         dest_flat = dest.reshape(-1)
 
@@ -320,7 +370,8 @@ class GridMD:
         rank = jnp.minimum(rank, cap - 1)
         cx = sorted_ids // cps
         cy = sorted_ids % cps
-        new_slot = (cx * cap + rank) * lanes + cy
+        rpb = self.rows_per_block
+        new_slot = ((cx // rpb) * cap + rank) * lanes + (cx % rpb) * cps + cy
         new_slot = jnp.where(real, new_slot, self.size)  # drop empties
 
         def scat(v, fill=0.0, dtype=None):

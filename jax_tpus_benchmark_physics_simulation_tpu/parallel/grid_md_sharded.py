@@ -74,6 +74,7 @@ class ShardedGridMD(GridMD):
             dt=dt,
             interpret=interpret,
             compensated=compensated,
+            rows_per_block=1,  # halo exchange is per physical cell row
         )
         self.mesh = mesh
         self.axis_name = axis_name

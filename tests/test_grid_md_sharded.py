@@ -26,7 +26,7 @@ def setup(n=1600, cutoff=2.5, skin=0.4, dt=1e-3, kt=0.5, p=8):
     gf = make_cell_grid_fn(box, cutoff, n, dim=2, skin=skin, rho=rho)
     assert gf.cells_per_side % p == 0, gf.cells_per_side
     mesh = make_mesh(p, axis_name="x")
-    local = GridMD(gf, dt=dt)
+    local = GridMD(gf, dt=dt, rows_per_block=1)  # layout must match sharded
     sharded = ShardedGridMD(gf, mesh, dt=dt)
     return pos, vel, local, sharded
 
