@@ -98,6 +98,8 @@ def _add_mdscale(sub):
              "trajectory parity checks",
     )
     p.add_argument("--N", type=int, default=100_000)
+    p.add_argument("--dim", type=int, default=2, choices=[2, 3],
+                   help="2D (ShardedGridMD) or 3D (ShardedGridMD3) engine")
     p.add_argument("--rho", type=float, default=0.8)
     p.add_argument("--kT", type=float, default=1.0)
     p.add_argument("--dt", type=float, default=1e-3)
@@ -340,12 +342,12 @@ def cmd_mdscale(args) -> int:
     from jax_tpus_benchmark_physics_simulation_tpu.report.export import write_csv
 
     cfg = override(
-        MDConfig(), n=args.N, rho=args.rho, kt=args.kT, dt=args.dt,
+        MDConfig(), n=args.N, dim=args.dim, rho=args.rho, kt=args.kT, dt=args.dt,
         cutoff=args.cutoff, init="lattice",  # sane start; uniform init's
         # particle overlaps eject particles at skin-violating speeds
     )
     console.panel(
-        f"N={cfg.n:,}  mode={args.mode}  steps={args.steps}  "
+        f"N={cfg.n:,}  dim={cfg.dim}  mode={args.mode}  steps={args.steps}  "
         f"devices available={jax.device_count()} ({jax.default_backend()})",
         title="MD Scaling Sweep (sharded grid engine)",
     )

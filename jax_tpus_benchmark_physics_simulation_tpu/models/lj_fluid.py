@@ -106,13 +106,21 @@ def _make_grid_md(cfg: MDConfig):
         cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
     )
     kw = dict(sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt, compensated=cfg.compensated)
+    n_dev = jax.device_count()
     if cfg.dim == 3:
         from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md3 import (
             GridMD3,
         )
 
-        return GridMD3(gf, **kw)  # single-device (2D engine has the sharded variant)
-    n_dev = jax.device_count()
+        if n_dev > 1 and gf.cells_per_side % n_dev == 0:
+            # auto-shard x-slabs over all devices (halo-exchange engine)
+            from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md3_sharded import (
+                ShardedGridMD3,
+            )
+            from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
+
+            return ShardedGridMD3(gf, make_mesh(n_dev, axis_name="x"), **kw)
+        return GridMD3(gf, **kw)
     if n_dev > 1 and gf.cells_per_side % n_dev == 0:
         # auto-shard cell rows over all devices (halo-exchange engine)
         from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md_sharded import (

@@ -105,7 +105,7 @@ def make_cell_grid_fn(
     skin: float = 0.4,
     rho: Optional[float] = None,
     capacity: Optional[int] = None,
-    safety: float = 2.0,
+    safety: Optional[float] = None,
 ) -> CellGridFn:
     cells_per_side = max(1, int(box / (cutoff + skin)))
     if cells_per_side < 3:
@@ -118,8 +118,18 @@ def make_cell_grid_fn(
         rho = n / (box**dim)
     if capacity is None:
         mean = rho * cell_size**dim
-        capacity = max(4, int(math.ceil(mean * safety + 2)))
-    capacity = ((capacity + 7) // 8) * 8  # lane-friendly
+        if safety is not None:
+            capacity = max(4, int(math.ceil(mean * safety + 2)))
+        else:
+            # mean + 3*sqrt(mean) + 1, rounded UP to a multiple of 8. The
+            # 8-rounding is mandatory on TPU (measured: non-8-aligned
+            # sublane capacities trigger Mosaic relayouts costing 2-4x the
+            # saved pair math, results/RESULTS.md). Margin vs measurement:
+            # 2D N=100k gives cap 16 vs observed max occupancy 12 over 60k
+            # steps; 3D N=100k gives cap 40 vs observed max 29 (was 48 with
+            # the old 2*mean+2 rule — the tightening is +51% 3D throughput).
+            capacity = max(4, int(math.ceil(mean + 3.0 * math.sqrt(mean) + 1)))
+    capacity = ((capacity + 7) // 8) * 8  # sublane-aligned (multiple of 8)
     return CellGridFn(
         box=float(box),
         cutoff=float(cutoff),

@@ -255,6 +255,7 @@ def make_grid_force_kernel3(
     interpret: Optional[bool] = None,
     with_energy: bool = False,
     a_chunk: Optional[int] = None,
+    n_rows: Optional[int] = None,
 ):
     """3D grid-level entry point: ``(xg, yg, zg) -> (fx, fy, fz)`` (or
     ``(..., e)``) on the packed (ncx, C, P) layout with x-sentinels at empty
@@ -263,6 +264,14 @@ def make_grid_force_kernel3(
 
     ``a_chunk``: self-capacity rows per VMEM chunk (must divide C; default
     targets ~1 MB pair-block temporaries).
+
+    ``n_rows``: x-row count the call operates on (default: the full grid).
+    The sharded 3D engine passes its per-device row count and uses the
+    attached ``.raw(xs, xn, ys, yn, zs, zn)``, supplying halo-built
+    neighbor-row arrays itself (+box x-adjustment on the seam device);
+    ``.raw`` returns ``(fx, fy, fz, rfx, rfy, rfz[, e, re])`` with reaction
+    rows UNSHIFTED (row i holds the reaction destined for row i+1) — the
+    same contract as cell_pallas.make_grid_force_kernel's ``.raw``.
     """
     assert grid_fn.dim == 3, "use cell_pallas.make_grid_force_kernel for 2D"
     if interpret is None:
@@ -290,7 +299,7 @@ def make_grid_force_kernel3(
 
     sc6 = (sigma / cutoff) ** 6
     shift = 4.0 * epsilon * (sc6 * sc6 - sc6)
-    rows = cps
+    rows = cps if n_rows is None else n_rows
     params = dict(
         cap=cap,
         ncy=cps,
@@ -318,26 +327,34 @@ def make_grid_force_kernel3(
         transcendentals=0,
     )
 
-    kernel = functools.partial(_newton_kernel3, row_wrap=True, **params)
-    out_specs = [self_blk, self_blk, self_blk, next_blk, next_blk, next_blk]
-    if with_energy:
-        out_specs += [self_blk, next_blk]
-    call = pl.pallas_call(
-        kernel,
-        grid=(rows,),
-        in_specs=[self_blk, next_blk] * 3,
-        out_specs=out_specs,
-        out_shape=[out_struct] * n_out,
-        interpret=interpret,
-        cost_estimate=cost,
-        # the chunk loop holds ~(42 partner arrays + one chunk's pair temps):
-        # ~16 MB at the N=100k scale — above Mosaic's 16 MB default scoped
-        # limit, far under the chip's 128 MB VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )
+    def build(row_wrap, shifted):
+        """``shifted``: single-chip mode — neighbor rows via the (i+1)%rows
+        index map, reaction rows written at their destination row. Raw
+        (sharded) mode takes explicit neighbor arrays, returns unshifted
+        reactions."""
+        kernel = functools.partial(_newton_kernel3, row_wrap=row_wrap, **params)
+        n_blk = next_blk if shifted else self_blk
+        out_specs = [self_blk] * 3 + [n_blk] * 3
+        if with_energy:
+            out_specs += [self_blk, n_blk]
+        return pl.pallas_call(
+            kernel,
+            grid=(rows,),
+            in_specs=[self_blk, n_blk] * 3,
+            out_specs=out_specs,
+            out_shape=[out_struct] * n_out,
+            interpret=interpret,
+            cost_estimate=cost,
+            # the chunk loop holds ~(42 partner arrays + one chunk's pair
+            # temps): ~16 MB at the N=100k scale — above Mosaic's 16 MB
+            # default scoped limit, far under the chip's 128 MB VMEM
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        )
+
+    fused_call = build(row_wrap=True, shifted=True)
 
     def grid_force(xg, yg, zg):
-        out = call(xg, xg, yg, yg, zg, zg)
+        out = fused_call(xg, xg, yg, yg, zg, zg)
         fx = out[0] + out[3]
         fy = out[1] + out[4]
         fz = out[2] + out[5]
@@ -345,4 +362,10 @@ def make_grid_force_kernel3(
             return fx, fy, fz, out[6] + out[7]
         return fx, fy, fz
 
+    raw_call = build(row_wrap=False, shifted=False)
+
+    def raw(xs, xn, ys, yn, zs, zn):
+        return tuple(raw_call(xs, xn, ys, yn, zs, zn))
+
+    grid_force.raw = raw
     return grid_force

@@ -38,6 +38,19 @@ def _build_engine(cfg: MDConfig, n_devices: int):
         cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
     )
     kw = dict(sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt, compensated=cfg.compensated)
+    if cfg.dim == 3:
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md3 import (
+            GridMD3,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md3_sharded import (
+            ShardedGridMD3,
+        )
+
+        if n_devices == 1:
+            return GridMD3(gf, **kw), gf
+        if gf.cells_per_side % n_devices:
+            return None, gf
+        return ShardedGridMD3(gf, make_mesh(n_devices, axis_name="x"), **kw), gf
     if n_devices == 1:
         return GridMD(gf, **kw), gf
     if gf.cells_per_side % n_devices:

@@ -27,3 +27,19 @@ def test_strong_scaling_sweep_with_parity():
     assert rows[0]["n"] == rows[1]["n"]  # strong: fixed N
     assert rows[1]["parity_ok"] is True
     assert rows[0]["psps"] > 0
+
+
+def test_strong_scaling_sweep_3d():
+    """3D sweep point on the CPU mesh: ShardedGridMD3 through the same
+    harness, with single-device parity (beyond-reference: the reference MD
+    is 2D-hardcoded and single-device)."""
+    # rho=0.8 so capacity (40) clears the lattice-cell aliasing worst case
+    # (ceil(side/cps)^3 = 27 particles land in one cell at init; rho=0.4's
+    # capacity of 24 would overflow — loudly, which is its job)
+    base = override(
+        MDConfig(), n=4000, dim=3, rho=0.8, cutoff=2.5, dt=1e-3, init="lattice"
+    )
+    rows = md_scaling_sweep(base, devices=[1, 2], steps=12, parity_steps=12)
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[1]["parity_ok"] is True
+    assert rows[0]["psps"] > 0
