@@ -97,12 +97,27 @@ class TestMDGoldenX64:
             np.testing.assert_allclose(
                 np.asarray(ours.velocity), np.asarray(v_ref), rtol=0, atol=1e-8
             )
-            # total-energy drift of the x64 oracle trajectory itself
-            e0 = float(energy(state.position)) + float(
-                0.5 * jnp.sum(state.velocity**2)
-            )
-            e1 = float(energy(r_ref)) + float(0.5 * jnp.sum(v_ref**2))
-            assert abs(e1 - e0) / abs(e0) < 1e-9
+            # Total-energy error of the x64 oracle: velocity Verlet carries
+            # an O(dt^2) TRUNCATION oscillation even in exact arithmetic —
+            # x64 removes the rounding random walk, not the integrator's
+            # truncation error. Assert (a) the error is in the truncation
+            # class (~2e-6 at dt=1e-3 for this config) and (b) it scales as
+            # dt^2 (halving dt -> ~1/4 the error; measured ratio 0.275),
+            # which pins it to truncation rather than a coding error.
+            def oracle_err(dt, steps):
+                r, v, en = _md_reference_x64(
+                    state.position, state.velocity, box, dt, steps
+                )
+                e0 = float(en(state.position)) + float(
+                    0.5 * jnp.sum(state.velocity**2)
+                )
+                e1 = float(en(r)) + float(0.5 * jnp.sum(v**2))
+                return abs(e1 - e0) / abs(e0)
+
+            e_dt = oracle_err(cfg.dt, steps)
+            assert e_dt < 1e-5
+            e_half = oracle_err(cfg.dt / 2, 2 * steps)
+            assert e_half < 0.4 * e_dt  # O(dt^2): expect ~0.25
 
     def test_grid_engine_f32_drift_vs_x64_oracle(self):
         """The production (f32, compensated) grid engine's energy drift over
@@ -201,10 +216,20 @@ class TestNBodyGoldenX64:
 
     def test_default_chaotic_full_length_invariants(self):
         """The chaotic 3-body default, full 1000 steps in x64. Raw positions
-        are compared only over the first 200 steps (~1 Lyapunov time);
-        past that the BASELINE invariants are asserted instead: both
-        trajectories conserve energy to < 1e-6 relative, and the engine's GW
-        strain stays finite with the expected quadrupole amplitude scale."""
+        are compared over the first 200 steps (~1 Lyapunov time); past that
+        the invariants are asserted instead.
+
+        The default config undergoes a CLOSE ENCOUNTER where fixed-step RK4
+        (the reference's integrator, nbody...:79-85) violates energy by
+        orders of magnitude — that is physics of the reference's method, not
+        an implementation defect, and both independently-coded maps violate
+        it IDENTICALLY (measured: max rel. err 201.15614 ours vs 201.15639
+        reference). So the golden assertions are: (a) the two energy series
+        agree exactly over the parity window, (b) both fixed-step maps land
+        in the same (large) error decade full-length, and (c) this repo's
+        adaptive Dopri5 on the SAME config conserves energy to < 1e-3 —
+        the integrator the reference lacks shrinking its steps through the
+        encounter (beyond-reference, ops/integrators_adaptive.py)."""
         from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger as nb
 
         with jax.enable_x64(True):
@@ -220,8 +245,20 @@ class TestNBodyGoldenX64:
 
             e_ours = np.asarray(_nbody_energy(ys, masses, cfg.g))
             e_ref = np.asarray(_nbody_energy(ys_ref, masses, cfg.g))
-            for e in (e_ours, e_ref):
-                assert np.max(np.abs(e - e[0]) / np.abs(e[0])) < 1e-6
+            # (a) energy series parity over the pre-chaos window
+            np.testing.assert_allclose(
+                e_ours[:201], e_ref[:201], rtol=1e-12, atol=1e-12 * abs(e_ours[0])
+            )
+            # (b) both fixed-step maps fail the encounter the same way
+            err_ours = np.max(np.abs(e_ours - e_ours[0]) / np.abs(e_ours[0]))
+            err_ref = np.max(np.abs(e_ref - e_ref[0]) / np.abs(e_ref[0]))
+            assert err_ours > 1.0 and err_ref > 1.0  # the encounter is real
+            assert 0.5 < err_ours / err_ref < 2.0
+
+            # (c) adaptive Dopri5 rides through the encounter
+            ys_d = nb.simulate(override(cfg, integrator="dopri5"), y0, masses)
+            e_d = np.asarray(_nbody_energy(ys_d, masses, cfg.g))
+            assert np.max(np.abs(e_d - e_d[0]) / np.abs(e_d[0])) < 1e-3
 
             _, t, pos_t, h = nb.simulate_with_waveform(cfg, y0, masses)
             h = np.asarray(h)
