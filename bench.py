@@ -58,8 +58,8 @@ def bench_grid_md(n, steps=400, repeats=3):
     pos, vel = lattice(n, box, jax.random.PRNGKey(0))
     gs = md.init(pos, vel)
 
-    k = md.auto_inner_steps(kt=1.0)
-    chunk = md.make_chunk_step(k)
+    k, gate = md.auto_chunk_params(kt=1.0)
+    chunk = md.make_chunk_step(k, gate_frac=gate)
     n_chunks = max(1, steps // k)
 
     @jax.jit

@@ -132,14 +132,16 @@ def _make_grid_md(cfg: MDConfig):
     return GridMD(gf, **kw)
 
 
-def _grid_inner_steps(cfg: MDConfig, md) -> int:
-    """Rebuild cadence: largest divisor of sample_every not exceeding the
-    conservative auto window (so production sampling aligns with chunks)."""
-    auto = md.auto_inner_steps(kt=cfg.kt)
+def _grid_inner_steps(cfg: MDConfig, md) -> Tuple[int, float]:
+    """Rebuild cadence: ``(n_inner, gate_frac)`` from the engine's coupled
+    sizing (high gate = fewer expensive migration rebuilds), with the window
+    clipped to the largest divisor of sample_every (so production sampling
+    aligns with chunks; a SHORTER window at the same gate is always safe)."""
+    auto, gate = md.auto_chunk_params(kt=cfg.kt)
     k = min(auto, cfg.sample_every)
     while cfg.sample_every % k:
         k -= 1
-    return max(1, k)
+    return max(1, k), gate
 
 
 def make_force_fn(cfg: MDConfig):
@@ -265,14 +267,14 @@ def equilibrate(cfg: MDConfig, state: ParticleState):
     failure is banned; see CLAUDE.md invariants)."""
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
-        k = _grid_inner_steps(cfg, md)
+        k, gate = _grid_inner_steps(cfg, md)
         gs = md.prepare(md.init(state.position, state.velocity))
         n_chunks, rem = divmod(cfg.eq_steps, k)
         if n_chunks:
-            chunk = md.make_chunk_step(k)
+            chunk = md.make_chunk_step(k, gate_frac=gate)
             gs = run_steps(chunk, gs, n_chunks)
         if rem:
-            gs = md.make_chunk_step(rem)(gs)
+            gs = md.make_chunk_step(rem, gate_frac=gate)(gs)
         return (
             state.replace(
                 position=md.positions(gs),
@@ -302,9 +304,9 @@ def production(cfg: MDConfig, state: ParticleState):
         )
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
-        k = _grid_inner_steps(cfg, md)
+        k, gate = _grid_inner_steps(cfg, md)
         gs = md.prepare(md.init(state.position, state.velocity))
-        chunk = md.make_chunk_step(k)
+        chunk = md.make_chunk_step(k, gate_frac=gate)
         per_sample = cfg.sample_every // k
 
         def sample_block(g, _):
@@ -317,7 +319,13 @@ def production(cfg: MDConfig, state: ParticleState):
         )
         rem = cfg.prod_steps - n_samples * cfg.sample_every
         if rem:
-            gs = md.make_chunk_step(rem)(gs)
+            # the tail can exceed the window budget k — run it in k-sized
+            # chunks (a window longer than k would erode the skin margin)
+            n2, r2 = divmod(rem, k)
+            if n2:
+                gs = run_steps(chunk, gs, n2)
+            if r2:
+                gs = md.make_chunk_step(r2, gate_frac=gate)(gs)
         final = state.replace(
             position=md.positions(gs),
             velocity=md.velocities(gs),

@@ -506,20 +506,50 @@ class GridMD:
         s = jax.lax.cond(self._needs_rebuild(s), self._rebuild_migrate, lambda t: t, s)
         return self.step_nocheck(s)
 
-    def make_chunk_step(self, n_inner: int):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
         """Returns ``chunk(s) -> s`` advancing ``n_inner`` steps with a single
         (conditional) rebuild up front and a branch-free leapfrog window.
-        Rebuilds at quarter-skin so the window that follows has half the skin
-        margin left before a true (flagged) violation at skin/2."""
+        ``gate_frac``: rebuild when displacement-since-rebuild exceeds this
+        fraction of the skin; the window that follows must fit inside the
+        remaining ``(1/2 - gate_frac)`` margin before a true (flagged)
+        violation at skin/2 — size ``n_inner`` with
+        :meth:`auto_inner_steps` using the SAME ``gate_frac``. Higher gates
+        buy fewer (expensive, ~4.5 ms) rebuilds at the price of shorter
+        windows; 0.4 measured optimal at N=100k (results/RESULTS.md)."""
         window = self._make_window(self.force_kernel, n_inner)
 
         def chunk(s: GridMDState) -> GridMDState:
             s = jax.lax.cond(
-                self._needs_rebuild(s, frac=0.25), self._rebuild_migrate, lambda t: t, s
+                self._needs_rebuild(s, frac=gate_frac),
+                self._rebuild_migrate,
+                lambda t: t,
+                s,
             )
             return window(s)
 
         return chunk
+
+    def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
+        """``(n_inner, gate_frac)`` sized TOGETHER: the highest rebuild gate
+        whose remaining window budget still fits >= 1 step at the 8-sigma
+        tail speed. Gate 0.45 is the measured optimum at N=100k (280M vs
+        234M psps at the conservative 0.25 — the ~4.5 ms migration scatter
+        amortizes over a ~2x longer rebuild interval, and the shorter
+        windows cost almost nothing since the per-step window overhead is
+        flat); at smaller N the rebuild is cheap relative to the window so
+        the optimum moves down (N=16k measured: 0.35/k=7 -> 271M vs
+        0.45/k=2 -> 245M). Falls back toward 0.25 for large dt where the
+        margin cannot fit one step. Pass BOTH values to
+        :meth:`make_chunk_step` — mixing a high gate with a window sized
+        for a lower one would erode the violation margin."""
+        prefer = 0.45 if self.n >= 50_000 else 0.35
+        for gate in (0.45, 0.4, 0.35, 0.3, 0.25):
+            if gate > prefer:
+                continue
+            k = int(((0.5 - gate) * self.skin) / (8.0 * kt**0.5 * self.dt))
+            if k >= 1:
+                return k, gate
+        return 1, 0.25
 
     def auto_inner_steps(
         self, kt: float = 1.0, vmax_sigmas: float = 8.0, gate_frac: float = 0.25

@@ -407,18 +407,37 @@ class GridMD3:
         s = jax.lax.cond(self._needs_rebuild(s), self._rebuild_migrate, lambda t: t, s)
         return self.step_nocheck(s)
 
-    def make_chunk_step(self, n_inner: int):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
         """``chunk(s) -> s``: one displacement-gated rebuild + a branch-free
-        n_inner-step leapfrog window (see grid_md.GridMD.make_chunk_step)."""
+        n_inner-step leapfrog window (see grid_md.GridMD.make_chunk_step for
+        the gate/window sizing contract)."""
         window = self._make_window(self.force_kernel, n_inner)
 
         def chunk(s: GridMD3State) -> GridMD3State:
             s = jax.lax.cond(
-                self._needs_rebuild(s, frac=0.25), self._rebuild_migrate, lambda t: t, s
+                self._needs_rebuild(s, frac=gate_frac),
+                self._rebuild_migrate,
+                lambda t: t,
+                s,
             )
             return window(s)
 
         return chunk
+
+    def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
+        """``(n_inner, gate_frac)`` sized together — see
+        grid_md.GridMD.auto_chunk_params. In 3D the window step is ~4x the
+        2D cost so the gate choice is within noise at N=100k (measured
+        57.3-57.8M psps across gates 0.25-0.45); the same size-aware ladder
+        is kept for consistency."""
+        prefer = 0.45 if self.n >= 50_000 else 0.35
+        for gate in (0.45, 0.4, 0.35, 0.3, 0.25):
+            if gate > prefer:
+                continue
+            k = int(((0.5 - gate) * self.skin) / (8.0 * kt**0.5 * self.dt))
+            if k >= 1:
+                return k, gate
+        return 1, 0.25
 
     def auto_inner_steps(
         self, kt: float = 1.0, vmax_sigmas: float = 8.0, gate_frac: float = 0.25

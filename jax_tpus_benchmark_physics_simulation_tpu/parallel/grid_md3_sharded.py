@@ -132,7 +132,7 @@ class ShardedGridMD3(GridMD3):
         )
 
     # -- sharded windows --------------------------------------------------------
-    def make_chunk_step(self, n_inner: int):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
         ax = self.axis_name
         window = self._make_window(
             self._halo_force, n_inner, reduce_max=lambda v: lax.pmax(v, ax)
@@ -140,7 +140,7 @@ class ShardedGridMD3(GridMD3):
 
         def chunk(s: GridMD3State) -> GridMD3State:
             s = lax.cond(
-                self._needs_rebuild(s, frac=0.25),
+                self._needs_rebuild(s, frac=gate_frac),
                 self._rebuild_migrate,
                 lambda t: t,
                 s,

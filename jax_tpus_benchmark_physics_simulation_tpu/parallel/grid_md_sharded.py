@@ -142,9 +142,10 @@ class ShardedGridMD(GridMD):
         return fx + self._shift_reaction(rfx), fy + self._shift_reaction(rfy)
 
     # -- sharded windows --------------------------------------------------------
-    def make_chunk_step(self, n_inner: int):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
         """Sharded chunk: conditional (global, GSPMD) migration rebuild, then
-        one shard_map leapfrog window of ``n_inner`` steps."""
+        one shard_map leapfrog window of ``n_inner`` steps (see
+        GridMD.make_chunk_step for the gate/window sizing contract)."""
         ax = self.axis_name
         window = self._make_window(
             self._halo_force, n_inner, reduce_max=lambda v: lax.pmax(v, ax)
@@ -153,7 +154,7 @@ class ShardedGridMD(GridMD):
         def chunk(s: GridMDState) -> GridMDState:
             # rebuild on the GSPMD-sharded global arrays (collectives auto)
             s = lax.cond(
-                self._needs_rebuild(s, frac=0.25),
+                self._needs_rebuild(s, frac=gate_frac),
                 self._rebuild_migrate,
                 lambda t: t,
                 s,

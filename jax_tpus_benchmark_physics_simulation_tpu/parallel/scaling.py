@@ -58,10 +58,11 @@ def _build_engine(cfg: MDConfig, n_devices: int):
     return ShardedGridMD(gf, make_mesh(n_devices, axis_name="x"), **kw), gf
 
 
-def _time_steps(md, gs, n_inner: int, n_chunks: int, repeats: int = 3) -> float:
+def _time_steps(md, gs, n_inner: int, n_chunks: int, repeats: int = 3,
+                gate_frac: float = 0.25) -> float:
     """Best-of wall seconds for ``n_chunks`` fused chunk steps (hard scalar
     sync — block_until_ready can return early over remote tunnels)."""
-    chunk = md.make_chunk_step(n_inner)
+    chunk = md.make_chunk_step(n_inner, gate_frac=gate_frac)
 
     @jax.jit
     def run(s):
@@ -139,9 +140,9 @@ def md_scaling_sweep(
             continue
         state = lj_fluid.init_state(cfg)
         gs = md.prepare(md.init(state.position, state.velocity))
-        k = lj_fluid._grid_inner_steps(cfg, md)
+        k, gate = lj_fluid._grid_inner_steps(cfg, md)
         n_chunks = max(1, steps // k)
-        wall = _time_steps(md, gs, k, n_chunks)
+        wall = _time_steps(md, gs, k, n_chunks, gate_frac=gate)
         n_steps = n_chunks * k
         ms = wall / n_steps * 1e3
         psps = cfg.n * n_steps / wall
@@ -179,12 +180,13 @@ def _check_parity(cfg: MDConfig, md_multi, state, steps: int) -> bool:
     import numpy as np
 
     md_one, _ = _build_engine(cfg, 1)
-    k = min(steps, lj_fluid._grid_inner_steps(cfg, md_one))
+    k_auto, gate = lj_fluid._grid_inner_steps(cfg, md_one)
+    k = min(steps, k_auto)
     n_chunks = max(1, steps // k)
 
     def run(md):
         gs = md.prepare(md.init(state.position, state.velocity))
-        chunk = md.make_chunk_step(k)
+        chunk = md.make_chunk_step(k, gate_frac=gate)
         gs = jax.jit(lambda s: jax.lax.fori_loop(0, n_chunks, lambda i, t: chunk(t), s))(gs)
         return np.asarray(md.positions(gs))
 
