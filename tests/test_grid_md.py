@@ -228,3 +228,42 @@ class TestPackedLayout:
         assert 385 % r385 == 0 and util(385, r385) >= 0.95
         assert choose_rows_per_block(121) == 1   # N=100k: already 94.5%
         assert choose_rows_per_block(128) == 1
+
+
+class TestAutoChunkParams:
+    """(window, gate) coupled sizing: the violation margin invariant
+    k * dt * 8*sqrt(kt) <= (0.5 - gate) * skin must hold for every output,
+    the gate is size-aware (high gate only pays when the rebuild dominates),
+    and large dt falls back to lower gates instead of a zero-step window."""
+
+    def _md(self, n=100_000, dt=1e-3):
+        gf = make_cell_grid_fn(float(np.sqrt(n / 0.8)), 2.5, n, dim=2)
+        return GridMD(gf, dt=dt)
+
+    def test_margin_invariant(self):
+        for n in (4000, 16384, 100_000):
+            for dt in (1e-4, 1e-3, 2e-3, 5e-3, 2e-2):
+                md = self._md(n=n, dt=dt)
+                for kt in (0.25, 1.0, 2.0):
+                    k, gate = md.auto_chunk_params(kt=kt)
+                    assert k >= 1
+                    if dt * 8.0 * kt**0.5 > 0.25 * md.skin:
+                        # dt so large even one step overruns every gate's
+                        # margin: the floor (1, 0.25) is returned and the
+                        # runtime violation flag is the guard (tested in
+                        # test_violation_flag_on_oversized_window)
+                        assert (k, gate) == (1, 0.25)
+                        continue
+                    assert k * dt * 8.0 * kt**0.5 <= (0.5 - gate) * md.skin + 1e-12, (
+                        n, dt, kt, k, gate
+                    )
+
+    def test_size_aware_gate(self):
+        k_big, gate_big = self._md(n=100_000).auto_chunk_params(kt=1.0)
+        k_small, gate_small = self._md(n=16384).auto_chunk_params(kt=1.0)
+        assert gate_big == 0.45 and k_big == 2    # measured optimum at N=100k
+        assert gate_small == 0.35 and k_small == 7  # measured optimum at N=16k
+
+    def test_large_dt_fallback(self):
+        k, gate = self._md(dt=2e-2).auto_chunk_params(kt=1.0)
+        assert k == 1 and gate == 0.25  # margin cannot fit 1 step at high gates
