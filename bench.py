@@ -134,12 +134,15 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
+    # Timed windows sized so fused device compute (~1 s) dwarfs the ~10 ms
+    # tunnel dispatch+sync latency paid once per repeat (at 400 steps that
+    # latency inflated per-step time 6% at N=100k and ~30% at N=16k).
     n_head = 100_000
-    psps, ms = bench_grid_md(n_head)
+    psps, ms = bench_grid_md(n_head, steps=2400)
     log(f"grid MD N={n_head}: {ms * 1e3:.3f} ms/step -> {psps / 1e6:.1f}M particle-steps/s")
 
     n_cmp = 16_384
-    ours_cmp, _ = bench_grid_md(n_cmp, steps=400)
+    ours_cmp, _ = bench_grid_md(n_cmp, steps=8000)
     ref_cmp, ref_ms = bench_reference_method(n_cmp)
     log(
         f"comparison N={n_cmp}: ours {ours_cmp / 1e6:.1f}M psps vs "
