@@ -108,12 +108,18 @@ def _newton_kernel3(
     a_chunk,
 ):
     """3D Newton cell kernel. Ref order:
-    (xs, xn, ys, yn, zs, zn) -> (fx, fy, fz, rfx, rfy, rfz[, e, re])."""
+    (mo, xs, xn, ys, yn, zs, zn) -> (fx, fy, fz, rfx, rfy, rfz[, e, re])
+    where ``mo`` is an SMEM (1,) int32 holding the global max cell
+    occupancy: the a-chunk loop runs only ``ceil(mo/a_chunk)`` of its
+    ``cap/a_chunk`` iterations. Valid because the binning compacts occupied
+    slots to the low indices of every cell, so every occupied a-slot index
+    is < mo (pairs with b >= mo are still covered: b spans the full
+    capacity axis inside each chunk)."""
     if with_energy:
-        (xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
+        (mo_ref, xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
          fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref, e_ref, re_ref) = refs
     else:
-        (xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
+        (mo_ref, xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
          fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref) = refs
         e_ref = re_ref = None
 
@@ -127,6 +133,7 @@ def _newton_kernel3(
     fscale = 24.0 * epsilon / sigma2
     ca = a_chunk
     n_chunks = cap // ca
+    nc_dyn = jnp.clip((mo_ref[0] + ca - 1) // ca, 1, n_chunks)
     sub_b = jax.lax.broadcasted_iota(jnp.int32, (ca * cap, lanes), 0) % cap
 
     def partner(src_x, src_y, src_z, dy, dz):
@@ -237,7 +244,7 @@ def _newton_kernel3(
             e_ref[0, pl.ds(a0, ca)] = e_ref[0, pl.ds(a0, ca)] + ea
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, nc_dyn, chunk_body, 0)
 
     # zero padding lanes (reaction unshifts duplicate seam values into them)
     live = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1) < ncy * ncz
@@ -327,6 +334,8 @@ def make_grid_force_kernel3(
         transcendentals=0,
     )
 
+    mo_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     def build(row_wrap, shifted):
         """``shifted``: single-chip mode — neighbor rows via the (i+1)%rows
         index map, reaction rows written at their destination row. Raw
@@ -340,7 +349,7 @@ def make_grid_force_kernel3(
         return pl.pallas_call(
             kernel,
             grid=(rows,),
-            in_specs=[self_blk, n_blk] * 3,
+            in_specs=[mo_spec] + [self_blk, n_blk] * 3,
             out_specs=out_specs,
             out_shape=[out_struct] * n_out,
             interpret=interpret,
@@ -353,8 +362,14 @@ def make_grid_force_kernel3(
 
     fused_call = build(row_wrap=True, shifted=True)
 
-    def grid_force(xg, yg, zg):
-        out = fused_call(xg, xg, yg, yg, zg, zg)
+    def _mo_arr(max_occ):
+        """(1,) int32 SMEM operand; None -> full capacity (no clamping)."""
+        if max_occ is None:
+            return jnp.full((1,), cap, jnp.int32)
+        return jnp.asarray(max_occ, jnp.int32).reshape((1,))
+
+    def grid_force(xg, yg, zg, max_occ=None):
+        out = fused_call(_mo_arr(max_occ), xg, xg, yg, yg, zg, zg)
         fx = out[0] + out[3]
         fy = out[1] + out[4]
         fz = out[2] + out[5]
@@ -364,8 +379,8 @@ def make_grid_force_kernel3(
 
     raw_call = build(row_wrap=False, shifted=False)
 
-    def raw(xs, xn, ys, yn, zs, zn):
-        return tuple(raw_call(xs, xn, ys, yn, zs, zn))
+    def raw(xs, xn, ys, yn, zs, zn, max_occ=None):
+        return tuple(raw_call(_mo_arr(max_occ), xs, xn, ys, yn, zs, zn))
 
     grid_force.raw = raw
     return grid_force

@@ -54,6 +54,12 @@ class GridMD3State:
     dmax2: jax.Array  # scalar running max of |disp|^2 since rebuild
     overflow: jax.Array  # bool
     time: jax.Array
+    # global max cell occupancy at the last (re)binning — the dynamic
+    # a-chunk bound of the Pallas kernel (occupied slots are compacted to
+    # the low indices of each cell, so chunks past ceil(max_occ/a_chunk)
+    # are pure sentinel work and are skipped; ~20% of pair math at the
+    # typical max_occ 28 vs capacity 40). None -> full capacity.
+    max_occ: Optional[jax.Array] = None
     # Kahan compensation residuals (compensated=True/"positions")
     crx: Optional[jax.Array] = None
     cry: Optional[jax.Array] = None
@@ -121,6 +127,11 @@ class GridMD3:
         """Placement hook (parity with GridMD.prepare)."""
         return state
 
+    @staticmethod
+    def _max_occ(occ: jax.Array) -> jax.Array:
+        """Global max cell occupancy (slot axis is 1)."""
+        return jnp.max(jnp.sum(occ, axis=1)).astype(jnp.int32)
+
     def init(self, position: jax.Array, velocity: jax.Array) -> GridMD3State:
         slot, overflow = self._slot3(position)
         dtype = position.dtype
@@ -140,7 +151,8 @@ class GridMD3:
             .set(jnp.arange(self.n, dtype=jnp.int32))
             .reshape(self.grid_shape)
         )
-        fxg, fyg, fzg = self.force_kernel(xg, yg, zg)
+        max_occ = self._max_occ(occ)
+        fxg, fyg, fzg = self.force_kernel(xg, yg, zg, max_occ)
         zeros = jnp.zeros(self.grid_shape, dtype)
         comp = (
             dict(crx=zeros, cry=zeros, crz=zeros, cvx=zeros, cvy=zeros, cvz=zeros)
@@ -153,6 +165,7 @@ class GridMD3:
             occ=occ, pid=pid, dispx=zeros, dispy=zeros, dispz=zeros,
             dmax2=jnp.zeros((), dtype),
             overflow=overflow, time=jnp.zeros((), dtype),
+            max_occ=max_occ,
             **comp,
         )
 
@@ -257,15 +270,17 @@ class GridMD3:
             if s.crx is not None
             else {}
         )
+        occ_new = take(9)
         return s.replace(
             xg=take(0), yg=take(1), zg=take(2),
             vxg=take(3), vyg=take(4), vzg=take(5),
             fxg=take(6), fyg=take(7), fzg=take(8),
-            occ=take(9),
+            occ=occ_new,
             pid=take(10).astype(jnp.int32),
             dispx=zeros, dispy=zeros, dispz=zeros,
             dmax2=jnp.zeros((), dtype),
             overflow=overflow,
+            max_occ=self._max_occ(occ_new),
             **comp,
         )
 
@@ -308,17 +323,19 @@ class GridMD3:
             if s.crx is not None
             else {}
         )
+        occ_new = scat(s.occ)
         return s.replace(
             xg=scat(x.reshape(self.grid_shape), fill=self.sentinel),
             yg=scat(y.reshape(self.grid_shape)),
             zg=scat(z.reshape(self.grid_shape)),
             vxg=scat(s.vxg), vyg=scat(s.vyg), vzg=scat(s.vzg),
             fxg=scat(s.fxg), fyg=scat(s.fyg), fzg=scat(s.fzg),
-            occ=scat(s.occ),
+            occ=occ_new,
             pid=scat(s.pid, fill=-1, dtype=jnp.int32),
             dispx=zeros, dispy=zeros, dispz=zeros,
             dmax2=jnp.zeros((), s.xg.dtype),
             overflow=overflow,
+            max_occ=self._max_occ(occ_new),
             **comp,
         )
 
@@ -345,6 +362,7 @@ class GridMD3:
             reduce_max = lambda v: v
 
         def window(s: GridMD3State) -> GridMD3State:
+            mo = s.max_occ  # constant between rebuilds (binning is fixed)
             vhx = s.vxg + 0.5 * dt * s.fxg
             vhy = s.vyg + 0.5 * dt * s.fyg
             vhz = s.vzg + 0.5 * dt * s.fzg
@@ -367,7 +385,7 @@ class GridMD3:
                     x, y, z = x + incx, y + incy, z + incz
                 dpx, dpy, dpz = dpx + incx, dpy + incy, dpz + incz
                 dm = jnp.maximum(dm, dpx * dpx + dpy * dpy + dpz * dpz)
-                fx, fy, fz = force_fn(x, y, z)
+                fx, fy, fz = force_fn(x, y, z, mo)
                 if comp and not pos_only:
                     vhx, cvx = kadd(vhx, cvx, dt * fx)
                     vhy, cvy = kadd(vhy, cvy, dt * fy)
@@ -452,7 +470,7 @@ class GridMD3:
         return 0.5 * jnp.sum((s.vxg**2 + s.vyg**2 + s.vzg**2) * s.occ)
 
     def potential_energy(self, s: GridMD3State) -> jax.Array:
-        _, _, _, e = self.energy_kernel(s.xg, s.yg, s.zg)
+        _, _, _, e = self.energy_kernel(s.xg, s.yg, s.zg, s.max_occ)
         return 0.5 * jnp.sum(e)
 
     def positions(self, s: GridMD3State) -> jax.Array:

@@ -119,11 +119,12 @@ class ShardedGridMD3(GridMD3):
         halo = lax.ppermute(r[-1:], ax, bwd)
         return jnp.concatenate([halo, r[:-1]], axis=0)
 
-    def _halo_force(self, xg, yg, zg):
+    def _halo_force(self, xg, yg, zg, max_occ=None):
         fx, fy, fz, rfx, rfy, rfz = self._local_force(
             xg, self._with_halo(xg, seam_delta=self.box),
             yg, self._with_halo(yg),
             zg, self._with_halo(zg),
+            max_occ=max_occ,
         )
         return (
             fx + self._shift_reaction(rfx),
@@ -173,20 +174,21 @@ class ShardedGridMD3(GridMD3):
         return jax.shard_map(
             self._halo_force,
             mesh=self.mesh,
-            in_specs=(arr_spec,) * 3,
+            in_specs=(arr_spec,) * 3 + (P(),),
             out_specs=(arr_spec,) * 3,
             check_vma=False,
-        )(s.xg, s.yg, s.zg)
+        )(s.xg, s.yg, s.zg, s.max_occ)
 
     def potential_energy(self, s: GridMD3State) -> jax.Array:
         """On-demand sharded energy pass (psum-reduced scalar)."""
         arr_spec = P(self.axis_name)
 
-        def local_pe(xg, yg, zg):
+        def local_pe(xg, yg, zg, max_occ):
             out = self._local_energy(
                 xg, self._with_halo(xg, seam_delta=self.box),
                 yg, self._with_halo(yg),
                 zg, self._with_halo(zg),
+                max_occ=max_occ,
             )
             e = out[6] + self._shift_reaction(out[7])
             return lax.psum(0.5 * jnp.sum(e), self.axis_name)
@@ -194,7 +196,7 @@ class ShardedGridMD3(GridMD3):
         return jax.shard_map(
             local_pe,
             mesh=self.mesh,
-            in_specs=(arr_spec,) * 3,
+            in_specs=(arr_spec,) * 3 + (P(),),
             out_specs=P(),
             check_vma=False,
-        )(s.xg, s.yg, s.zg)
+        )(s.xg, s.yg, s.zg, s.max_occ)
