@@ -2,6 +2,12 @@ from jax_tpus_benchmark_physics_simulation_tpu.ckpt.checkpoint import (
     save_checkpoint,
     restore_checkpoint,
     latest_step,
+    config_fingerprint,
 )
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "config_fingerprint",
+]

@@ -43,6 +43,16 @@ def latest_step(directory: str) -> Optional[int]:
     return step
 
 
+def config_fingerprint(cfg: Any) -> int:
+    """Deterministic int32 fingerprint of a config dataclass (crc32 of its
+    repr — dataclass reprs enumerate every field). Stored inside checkpoints
+    so a restore against a CHANGED physics config is detected instead of
+    silently returning stale results (advisor finding, round 2)."""
+    import zlib
+
+    return zlib.crc32(repr(cfg).encode()) & 0x7FFFFFFF
+
+
 def restore_checkpoint(directory: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore a pytree with the structure/shapes of ``target``. Returns the
     restored pytree (``target`` is the abstract template)."""

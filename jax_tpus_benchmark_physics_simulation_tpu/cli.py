@@ -369,10 +369,13 @@ def cmd_mdscale(args) -> int:
     if args.csv:
         write_csv(rows, args.csv)
         console.log(f"CSV written: {args.csv}")
-    if any(r["parity_ok"] is False for r in rows):
+    # manifest BEFORE the parity early-return: a failed parity sweep is the
+    # run that most needs an audit record (advisor finding, round 2)
+    parity_failed = any(r["parity_ok"] is False for r in rows)
+    _write_manifest(args, "mdscale", cfg, {"rows": rows, "parity_failed": parity_failed})
+    if parity_failed:
         console.log("[WARNING] sharded trajectory parity FAILED on some points")
         return 1
-    _write_manifest(args, "mdscale", cfg, {"rows": rows})
     return 0
 
 

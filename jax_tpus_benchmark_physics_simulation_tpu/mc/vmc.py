@@ -134,16 +134,43 @@ def run_vmc(
     e_hist, p_hist, g_hist, a_hist = [], [], [], []
     snapshots = []
     done = 0
+    fp = None
     if ckpt_dir is not None:
+        import dataclasses
+
         from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
+            config_fingerprint,
             latest_step,
             restore_checkpoint,
         )
 
+        # physics fingerprint EXCLUDES run-length/reporting knobs so a run
+        # extended with a larger n_epochs still resumes, but changed physics
+        # (lr, dim, potential, ...) is detected instead of silently resumed
+        # (advisor finding, round 2)
+        phys = {
+            k: v
+            for k, v in sorted(dataclasses.asdict(cfg).items())
+            if k not in ("n_epochs", "epoch_chunk", "snapshot_every")
+        }
+        fp = config_fingerprint(phys)
         step = latest_step(ckpt_dir)
         if step is not None and 0 < step <= cfg.n_epochs:
-            carry = restore_checkpoint(ckpt_dir, carry, step)
-            done = step
+            try:
+                bundle = restore_checkpoint(
+                    ckpt_dir, {"carry": carry, "fp": jnp.zeros((), jnp.int32)}, step
+                )
+            except Exception:  # pre-fingerprint layout (round <= 2)
+                bundle = {"carry": restore_checkpoint(ckpt_dir, carry, step),
+                          "fp": jnp.asarray(fp, jnp.int32)}
+            if int(bundle["fp"]) != fp:
+                print(
+                    f"[ckpt] config changed since checkpoint in {ckpt_dir} "
+                    "(fingerprint mismatch) — starting fresh instead of resuming"
+                )
+            else:
+                carry = bundle["carry"]
+                done = step
     while done < cfg.n_epochs:
         n = min(chunk, cfg.n_epochs - done)
         carry, (es, ps, gs, accs) = run_chunk(carry, n)
@@ -157,13 +184,18 @@ def run_vmc(
         if ckpt_dir is not None and (done % (10 * chunk) == 0 or done == cfg.n_epochs):
             from jax_tpus_benchmark_physics_simulation_tpu.ckpt import save_checkpoint
 
-            save_checkpoint(ckpt_dir, done, carry)
+            save_checkpoint(
+                ckpt_dir, done, {"carry": carry, "fp": jnp.asarray(fp, jnp.int32)}
+            )
         if progress_cb is not None:
             progress_cb(done, float(es[-1]), float(jax.tree.leaves(ps)[0][-1]))
-    if not e_hist:  # fully restored run: report current state once
-        carry2, (es, ps, gs, accs) = run_chunk(carry, 1)
+    if not e_hist:  # fully restored run: report current state once.
+        # The probe epoch populates the histories ONLY — its advanced carry
+        # is discarded, so the returned params/walkers are exactly the
+        # checkpoint at n_epochs, not one Adam step past it (advisor
+        # finding, round 2).
+        _, (es, ps, gs, accs) = run_chunk(carry, 1)
         e_hist, p_hist, g_hist, a_hist = [es], [ps], [gs], [accs]
-        carry = carry2
 
     walkers, params, key, opt_state = carry
 

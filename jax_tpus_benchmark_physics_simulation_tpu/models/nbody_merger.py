@@ -146,12 +146,15 @@ def run(cfg: Optional[NBodyConfig] = None, ckpt_dir: Optional[str] = None) -> NB
     y0 = init_state_flat(cfg)
 
     restored = None
+    fp = None
     if ckpt_dir is not None:
         from jax_tpus_benchmark_physics_simulation_tpu.ckpt import (
+            config_fingerprint,
             latest_step,
             restore_checkpoint,
         )
 
+        fp = config_fingerprint(cfg)
         if latest_step(ckpt_dir) == cfg.num_steps:
             n = cfg.n_bodies
             tmpl = dict(
@@ -159,8 +162,18 @@ def run(cfg: Optional[NBodyConfig] = None, ckpt_dir: Optional[str] = None) -> NB
                 t=jnp.zeros((cfg.num_steps + 1,), jnp.float32),
                 positions=jnp.zeros((cfg.num_steps + 1, n, 2), jnp.float32),
                 h_plus=jnp.zeros((cfg.num_steps + 1,), jnp.float32),
+                fp=jnp.zeros((), jnp.int32),
             )
-            restored = restore_checkpoint(ckpt_dir, tmpl, cfg.num_steps)
+            try:
+                restored = restore_checkpoint(ckpt_dir, tmpl, cfg.num_steps)
+            except Exception as exc:  # pre-fingerprint / foreign layout
+                print(f"[ckpt] ignoring incompatible checkpoint in {ckpt_dir}: {exc}")
+            if restored is not None and int(restored["fp"]) != fp:
+                print(
+                    f"[ckpt] config changed since checkpoint in {ckpt_dir} "
+                    "(fingerprint mismatch) — recomputing instead of restoring"
+                )
+                restored = None
 
     if restored is not None:
         ys, t = restored["ys"], restored["t"]
@@ -181,7 +194,8 @@ def run(cfg: Optional[NBodyConfig] = None, ckpt_dir: Optional[str] = None) -> NB
             save_checkpoint(
                 ckpt_dir,
                 cfg.num_steps,
-                dict(ys=ys, t=t, positions=positions_t, h_plus=h_plus),
+                dict(ys=ys, t=t, positions=positions_t, h_plus=h_plus,
+                     fp=jnp.asarray(fp, jnp.int32)),
             )
 
     lyap = None

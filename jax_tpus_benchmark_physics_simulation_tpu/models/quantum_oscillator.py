@@ -58,18 +58,29 @@ def run(
     cfg: Optional[VMCDMCConfig] = None,
     progress_cb: Optional[Callable[[int, float, float], None]] = None,
     ckpt_dir: Optional[str] = None,
+    walker_sharding=None,
 ) -> QuantumResult:
+    """``walker_sharding``: optional NamedSharding splitting the walker axis
+    over a device mesh — the WHOLE pipeline shards: GSPMD-sharded VMC
+    (mc/vmc.py) feeding shard_map'd DMC with shard-local branching
+    (mc/dmc.py)."""
     cfg = cfg or VMCDMCConfig()
     model = make_model(cfg)
 
     t0 = time.perf_counter()
-    vmc_res = run_vmc(model, cfg, progress_cb=progress_cb, ckpt_dir=ckpt_dir)
+    vmc_res = run_vmc(
+        model, cfg, progress_cb=progress_cb, ckpt_dir=ckpt_dir,
+        walker_sharding=walker_sharding,
+    )
     jax.block_until_ready(vmc_res.energy_history)
     vmc_wall = time.perf_counter() - t0
 
     # DMC continues from the VMC-optimized ensemble (vmc_dmc...:219-221).
     t0 = time.perf_counter()
-    dmc_res = run_dmc(model, vmc_res.params, vmc_res.walkers, vmc_res.key, cfg)
+    dmc_res = run_dmc(
+        model, vmc_res.params, vmc_res.walkers, vmc_res.key, cfg,
+        walker_sharding=walker_sharding,
+    )
     jax.block_until_ready(dmc_res.energy_history)
     dmc_wall = time.perf_counter() - t0
 

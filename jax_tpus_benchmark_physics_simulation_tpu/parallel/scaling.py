@@ -101,9 +101,11 @@ def _round_to_divisible_n(n: int, cfg: MDConfig, devices: List[int]) -> int:
             f"N={n} too small for a {lcm}-divisible cell grid (cps={cps})"
         )
     # 0.1-cell margin: box exactly on the cps*cell boundary can truncate to
-    # cps-1 in make_cell_grid_fn's int(box/cell) and break divisibility
+    # cps-1 in make_cell_grid_fn's int(box/cell) and break divisibility.
+    # Clamped to the requested n: when box/cell lands inside [cps, cps+0.1)
+    # the margin alone could otherwise return n' > n (advisor finding).
     box = (cps + 0.1) * cell
-    return int(cfg.rho * box**cfg.dim)
+    return min(n, int(cfg.rho * box**cfg.dim))
 
 
 def md_scaling_sweep(

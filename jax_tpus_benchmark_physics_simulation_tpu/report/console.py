@@ -71,14 +71,28 @@ def records_table(title: str, records: List[dict], columns: Optional[List[str]] 
 
 
 class _NullProgress:
-    """Plain-text fallback: prints phase start/stop lines."""
+    """Plain-text fallback: prints phase start lines and description changes
+    (rate-limited) so live readouts (e.g. the VMC per-chunk E/alpha) survive
+    terminals without rich (advisor finding, round 2)."""
+
+    _MIN_INTERVAL_S = 2.0
+
+    def __init__(self):
+        self._last_print = 0.0
 
     def add_task(self, description: str, total: Optional[float] = None, **kw):
         print(f"... {description}")
         return description
 
-    def update(self, task, **kw):
-        pass
+    def update(self, task, description: Optional[str] = None, **kw):
+        if description is None or description == task:
+            return
+        import time
+
+        now = time.monotonic()
+        if now - self._last_print >= self._MIN_INTERVAL_S:
+            self._last_print = now
+            print(f"... {description}")
 
     def advance(self, task, advance: float = 1):
         pass

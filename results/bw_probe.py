@@ -1,0 +1,121 @@
+"""HBM bandwidth probe — which streaming formulation reaches the machine?
+
+Round-2 VERDICT weak item 1: the committed stream number (324 GB/s, x+1 in a
+fori_loop) contradicts the FFT roofline row (742 GB/s on the same chip).
+Hypothesis: the loop-carry of the 256 MB buffer costs an extra copy per
+iteration (real traffic 2x the counted read+write), or the single dependent
+chain under-issues HBM. This probe times the candidates with the same
+fused-loop + host-read sync discipline as bench/runners.py and prints
+counted GB/s + XLA cost_analysis bytes for each.
+
+Run on the real chip:  python results/bw_probe.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+N = 64 * 1024 * 1024  # 256 MB f32
+STEPS = 50
+DT = jnp.float32
+
+
+def timed(fn, *args):
+    c = jax.jit(fn)
+    _ = float(c(*args))  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(c(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / STEPS
+
+
+def report(name, secs, counted_bytes, xla_bytes=None):
+    gbs = counted_bytes / secs / 1024**3
+    x = f"  xla: {xla_bytes / secs / 1024**3:7.1f} GB/s" if xla_bytes else ""
+    print(f"{name:28s} {secs * 1e3:8.3f} ms  counted: {gbs:7.1f} GB/s{x}")
+
+
+def xla_bytes_of(fn, *args):
+    try:
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        return float(c.get("bytes accessed", 0)) or None
+    except Exception:
+        return None
+
+
+x = jax.random.normal(jax.random.PRNGKey(0), (N,), DT)
+jax.block_until_ready(x)
+
+# 1. current: x+1 direct chain in a fori_loop
+def v1(x):
+    y = jax.lax.fori_loop(0, STEPS, lambda i, v: v + 1.0, x)
+    return jnp.sum(y)
+
+report("v1 x+1 fori (current)", timed(v1, x), 2 * x.nbytes)
+
+# 2. donated input, same op (lets XLA alias the carry end-to-end)
+def v2(x):
+    y = jax.lax.fori_loop(0, STEPS, lambda i, v: v + 1.0, x)
+    return jnp.sum(y)
+
+v2j = jax.jit(v2, donate_argnums=0)
+_ = float(v2j(jnp.copy(x)))
+best = float("inf")
+for _ in range(3):
+    xc = jnp.copy(x)
+    jax.block_until_ready(xc)
+    t0 = time.perf_counter()
+    _ = float(v2j(xc))
+    best = min(best, time.perf_counter() - t0)
+report("v2 x+1 fori donated", best / STEPS, 2 * x.nbytes)
+
+# 3. four independent streams (ILP across buffers), quarter size each
+xs = tuple(
+    jax.random.normal(jax.random.PRNGKey(i), (N // 4,), DT) for i in range(4)
+)
+jax.block_until_ready(xs)
+
+def v3(xs):
+    def body(i, vs):
+        return tuple(v + 1.0 for v in vs)
+
+    ys = jax.lax.fori_loop(0, STEPS, body, xs)
+    return sum(jnp.sum(y) for y in ys)
+
+report("v3 4-stream x+1", timed(v3, xs), 2 * x.nbytes)
+
+# 4. scaled tap back to x0 (perturb chain — reads x0 AND out: 3 arrays/iter)
+def v4(x):
+    def body(i, v):
+        return x + v * 1e-30
+
+    y = jax.lax.fori_loop(0, STEPS, body, x)
+    return jnp.sum(y)
+
+report("v4 perturb chain (3x)", timed(v4, x), 3 * x.nbytes)
+
+# 5. reverse-copy chain: out[i] = in[reversed] — pure copy, not fusible to
+#    a no-op because the loop alternates direction
+def v5(x):
+    y = jax.lax.fori_loop(0, STEPS, lambda i, v: v[::-1] + 1.0, x)
+    return jnp.sum(y)
+
+report("v5 reverse+1 fori", timed(v5, x), 2 * x.nbytes)
+
+# 6. bigger footprint: 1 GB buffer, same x+1
+xb = jax.random.normal(jax.random.PRNGKey(9), (4 * N,), DT)
+jax.block_until_ready(xb)
+report("v6 x+1 fori 1GB", timed(v1, xb), 2 * xb.nbytes)
+
+# XLA's own byte count for one loop program (divided by STEPS)
+xb1 = xla_bytes_of(v1, x)
+if xb1:
+    print(f"xla bytes/iter for v1 program: {xb1 / STEPS / 2**20:.1f} MiB "
+          f"(counted model: {2 * x.nbytes / 2**20:.1f} MiB)")

@@ -99,13 +99,22 @@ def test_two_process_cpu_cluster(tmp_path):
         assert f"proc {pid}: OK" in out
 
 
-def test_single_host_autodetect_is_noop():
+def test_single_host_autodetect_is_noop(monkeypatch):
     """On a plain single host with no launcher env, auto-detect must return
-    False, not raise (and not swallow real config errors — see module)."""
+    False — i.e. stay a single-host run — not raise (and not swallow real
+    config errors — see module)."""
     from jax_tpus_benchmark_physics_simulation_tpu.parallel.multihost import (
         init_multihost,
     )
 
-    # NOTE: jax.distributed may already be uninitialized in the test process;
-    # auto-detect with no cluster env returns False.
-    assert init_multihost() in (False, True)  # never raises
+    # scrub every cluster-launcher variable jax.distributed auto-detects so
+    # the assertion is about a genuinely clean single host
+    for var in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+        "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+        "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID", "SLURM_NTASKS",
+        "SLURM_PROCID", "SLURM_STEP_NODELIST", "OMPI_MCA_orte_hnp_uri",
+        "OMPI_COMM_WORLD_SIZE", "OMPI_COMM_WORLD_RANK", "CLOUD_TPU_TASK_ID",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    assert init_multihost() is False

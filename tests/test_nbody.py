@@ -188,3 +188,28 @@ def test_nbody_checkpoint_restore(tmp_path):
 
     np.testing.assert_allclose(np.asarray(r2.h_plus), np.asarray(r1.h_plus))
     np.testing.assert_allclose(np.asarray(r2.positions), np.asarray(r1.positions))
+
+
+def test_nbody_checkpoint_config_change_recomputes(tmp_path):
+    """Changed physics params must NOT restore the stale trajectory
+    (config fingerprint in the checkpoint — round-2 advisor finding)."""
+    from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+        NBodyConfig,
+        override,
+    )
+    from jax_tpus_benchmark_physics_simulation_tpu.models import nbody_merger
+
+    cfg = override(NBodyConfig(), num_steps=50, compute_chaos=False)
+    ck = str(tmp_path / "nb")
+    r1 = nbody_merger.run(cfg, ckpt_dir=ck)
+    assert r1.sim_wall_s > 0
+    cfg2 = override(cfg, masses=(35.0, 25.0, 30.0))
+    r2 = nbody_merger.run(cfg2, ckpt_dir=ck)
+    assert r2.sim_wall_s > 0  # recomputed, not restored
+    import numpy as np
+
+    # h_plus is ~1e-24 in these units: compare with atol=0 so the default
+    # absolute tolerance can't swamp the relative difference
+    assert not np.allclose(
+        np.asarray(r2.h_plus), np.asarray(r1.h_plus), rtol=1e-3, atol=0.0
+    )

@@ -157,3 +157,82 @@ class TestDistributedMDStep:
         r1, v1 = step_with(lambda r: ring_force(r, valid), r_sharded, vel)
         r2, v2 = step_with(lj.force, pos, vel)
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-4, atol=1e-4)
+
+
+class TestShardedDMC:
+    """Walker-sharded DMC branching (mc/dmc.py run_dmc walker_sharding=):
+    shard-local systematic resampling + one psum'd E_ref per step — the
+    scalable replacement for the reference's serial global multinomial
+    (vmc_dmc...:255-260, SURVEY.md §7 hard part)."""
+
+    def test_statistics_match_single_device(self, mesh):
+        """Sharded branching reproduces the single-device ground-state
+        energy within combined error bars, with fixed population."""
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+            VMCDMCConfig,
+            override,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc import (
+            HarmonicOscillator,
+            run_dmc,
+        )
+
+        cfg = override(
+            VMCDMCConfig(), n_walkers=4000, n_dmc=400, dmc_dt=0.01, dim=3
+        )
+        model = HarmonicOscillator(dim=3)
+        walkers = jax.random.normal(jax.random.PRNGKey(11), (cfg.n_walkers, 3))
+        res_1dev = run_dmc(model, jnp.asarray(0.45), walkers, jax.random.PRNGKey(12), cfg)
+        res_shard = run_dmc(
+            model, jnp.asarray(0.45), walkers, jax.random.PRNGKey(12), cfg,
+            walker_sharding=shard_along(mesh),
+        )
+        m1, e1 = res_1dev.mean_energy(burn_in=100)
+        m2, e2 = res_shard.mean_energy(burn_in=100)
+        # exact E_0 = 1.5; both must hit it, and each other, within error bars
+        assert abs(float(m1) - 1.5) < 0.05, float(m1)
+        assert abs(float(m2) - 1.5) < 0.05, float(m2)
+        assert abs(float(m1) - float(m2)) < 4 * (float(e1) + float(e2))
+        # population fixed, walkers land sharded
+        assert res_shard.walkers.shape == (cfg.n_walkers, 3)
+        assert len(res_shard.walkers.sharding.device_set) == 8
+
+    def test_snapshots_and_e_hist_shapes(self, mesh):
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+            VMCDMCConfig,
+            override,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc import (
+            HarmonicOscillator,
+            run_dmc,
+        )
+
+        cfg = override(
+            VMCDMCConfig(), n_walkers=256, n_dmc=50, dim=2, snapshot_every=10
+        )
+        model = HarmonicOscillator(dim=2)
+        walkers = jax.random.normal(jax.random.PRNGKey(13), (256, 2))
+        res = run_dmc(
+            model, jnp.asarray(0.5), walkers, jax.random.PRNGKey(14), cfg,
+            walker_sharding=shard_along(mesh),
+        )
+        assert res.walker_snapshots.shape == (5, 256, 2)
+        assert res.energy_history.shape == (50,)
+        assert bool(jnp.all(jnp.isfinite(res.energy_history)))
+
+    def test_pipeline_end_to_end_sharded(self, mesh):
+        """quantum_oscillator.run with walker_sharding shards VMC AND DMC."""
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+            VMCDMCConfig,
+            override,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.models import quantum_oscillator
+
+        cfg = override(
+            VMCDMCConfig(), n_walkers=1000, n_epochs=150, n_equil=10,
+            n_dmc=150, dim=2, epoch_chunk=50,
+        )
+        res = quantum_oscillator.run(cfg, walker_sharding=shard_along(mesh))
+        assert abs(res.vmc_alpha - 0.5) < 0.1
+        mean, _ = res.dmc.mean_energy(burn_in=50)
+        assert abs(float(mean) - 1.0) < 0.1  # E_0 = D/2 = 1.0 for dim=2

@@ -207,3 +207,28 @@ class TestManifest:
         assert doc["config"]["n"] == 400
         assert doc["results"]["psps"] == 1.5e8
         assert "devices" in doc and "timestamp_utc" in doc
+
+
+class TestCkptFingerprint:
+    def test_vmc_config_change_starts_fresh(self, tmp_path):
+        """A checkpoint written under different physics (lr) must not be
+        silently resumed (round-2 advisor finding)."""
+        from jax_tpus_benchmark_physics_simulation_tpu.core.config import (
+            VMCDMCConfig,
+            override,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.models import (
+            HarmonicOscillator,
+        )
+        from jax_tpus_benchmark_physics_simulation_tpu.mc.vmc import run_vmc
+
+        model = HarmonicOscillator(dim=2)
+        ck = str(tmp_path / "vmc_ck")
+        cfg = override(
+            VMCDMCConfig(), n_walkers=256, n_epochs=10, n_equil=5,
+            epoch_chunk=1, prng_impl="threefry",
+        )
+        run_vmc(model, cfg, ckpt_dir=ck)
+        res = run_vmc(model, override(cfg, lr=0.005), ckpt_dir=ck)
+        # fresh run: full history, NOT the 1-epoch fully-restored report
+        assert res.energy_history.shape == (10,)
