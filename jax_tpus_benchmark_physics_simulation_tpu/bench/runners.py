@@ -52,12 +52,36 @@ class BenchContext:
         return 2 if self.cfg.precision == "bfloat16" else 4
 
 
+_DISPATCH_LATENCY: Optional[float] = None
+
+
+def dispatch_latency() -> float:
+    """Measured null-dispatch + host-read round-trip latency (seconds),
+    cached per process. On a local backend this is ~100 us; over the axon
+    tunnel it is ~25 ms — large enough that even a 50-iteration fused loop
+    gets a ~0.5 ms/iter haircut (the round-2 sweep's 324 GB/s "bandwidth"
+    on a 740 GB/s chip was exactly this artifact). _timed_loop subtracts it."""
+    global _DISPATCH_LATENCY
+    if _DISPATCH_LATENCY is None:
+        null = jax.jit(lambda x: x + 1.0)
+        _ = float(null(jnp.zeros(())))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = float(null(jnp.zeros(())))
+            best = min(best, time.perf_counter() - t0)
+        _DISPATCH_LATENCY = best
+    return _DISPATCH_LATENCY
+
+
 def _timed_loop(ctx: BenchContext, op, args, cores: int, chain: str = "perturb") -> float:
     """Measure avg seconds per op with the iteration loop FUSED ON DEVICE.
 
     The reference times a host dispatch loop (:210-215). On backends with
-    per-dispatch latency (remote tunnels: ~10 ms measured) that measures the
-    dispatcher, not the op. Here ``steps`` iterations run inside one jitted
+    per-dispatch latency (remote tunnels: ~25 ms measured) that measures the
+    dispatcher, not the op; the measured null-dispatch latency is subtracted
+    from every timed dispatch (see dispatch_latency). Here ``steps``
+    iterations run inside one jitted
     ``fori_loop`` with a serial data dependency between iterations (so XLA
     cannot hoist or elide the op), and the final value is read to the host —
     a sync that cannot lie.
@@ -99,12 +123,13 @@ def _timed_loop(ctx: BenchContext, op, args, cores: int, chain: str = "perturb")
     # op iterations, so warmup=1 >= the reference's 10 iterations (:207-208).
     for _ in range(max(1, ctx.cfg.warmup)):
         _ = float(compiled(x0, rest))
+    lat = dispatch_latency()
     best = float("inf")
     for _ in range(max(1, ctx.cfg.repeats)):
         start = time.perf_counter()
         _ = float(compiled(x0, rest))
         best = min(best, time.perf_counter() - start)
-    return best / steps
+    return max(best - lat, 1e-9) / steps
 
 
 def _alloc_normal(key, cores: int, shape_per_core, dtype):

@@ -129,6 +129,14 @@ def make_cell_grid_fn(
             # steps; 3D N=100k gives cap 40 vs observed max 29 (was 48 with
             # the old 2*mean+2 rule — the tightening is +51% 3D throughput).
             capacity = max(4, int(math.ceil(mean + 3.0 * math.sqrt(mean) + 1)))
+        if dim == 3 and capacity > 16:
+            # round the AUTO capacity up to a multiple of 16: it admits the
+            # measured-fastest 3D kernel chunking (b_chunk=16 — cap 48
+            # (8,16) runs 1.03 ms/call vs cap 40's best 1.17 at 3D N=100k,
+            # results/md3_chunk_sweep.py) and the extra slots are sentinel
+            # rows the dynamic occupancy bound never visits. Explicit
+            # ``capacity=`` overrides keep plain 8-alignment.
+            capacity = ((capacity + 15) // 16) * 16
     capacity = ((capacity + 7) // 8) * 8  # sublane-aligned (multiple of 8)
     return CellGridFn(
         box=float(box),

@@ -24,10 +24,14 @@ neighbor rows (no rolled copies). 3D specifics:
   from a second roll) and a y-shift (roll by dy*ncz with the y-seam block
   ``col // ncz == wrap`` patched) — 2 rolls + 1 select per axis, still no
   per-pair minimum-image arithmetic.
-- **a-chunking**: 3D capacities are ~3x 2D's (C ~ 32-64), so a full
-  (C*C, P) pair block would blow VMEM. The self capacity axis is processed
-  in chunks of ``ca`` rows ((ca*C, P) temporaries, ~1 MB), with per-chunk
-  force rows concatenated and reaction sums accumulated across chunks.
+- **(a, b)-chunking with dynamic occupancy bounds**: 3D capacities are ~3x
+  2D's (C ~ 32-64), so a full (C*C, P) pair block would blow VMEM. Both
+  capacity axes are processed in chunks — outer loop over partner (b)
+  chunks of ``cb`` rows, inner loop over self (a) chunks of ``ca`` rows,
+  ((ca*cb, P) temporaries) — and BOTH loops run only ``ceil(max_occ/chunk)``
+  of their iterations (slots are compacted per cell, so chunks past the
+  global max occupancy are pure sentinel work). Partner triples are built
+  per b-chunk by ref-slice-then-shift (see _newton_kernel3).
 
 Physics is the reference's LJ 6-12 (molecular_dynamics_jax_single-host_
 workload.py:50-62, which is dim=2-hardcoded at :26 — 3D at this scale is
@@ -106,15 +110,23 @@ def _newton_kernel3(
     row_wrap,
     with_energy,
     a_chunk,
+    b_chunk,
 ):
     """3D Newton cell kernel. Ref order:
     (mo, xs, xn, ys, yn, zs, zn) -> (fx, fy, fz, rfx, rfy, rfz[, e, re])
     where ``mo`` is an SMEM (1,) int32 holding the global max cell
-    occupancy: the a-chunk loop runs only ``ceil(mo/a_chunk)`` of its
-    ``cap/a_chunk`` iterations. Valid because the binning compacts occupied
-    slots to the low indices of every cell, so every occupied a-slot index
-    is < mo (pairs with b >= mo are still covered: b spans the full
-    capacity axis inside each chunk)."""
+    occupancy. The pair math is a nested dynamic loop: outer over b-chunks
+    (partner capacity rows), inner over a-chunks (self capacity rows), each
+    running only ``ceil(mo/chunk)`` of its ``cap/chunk`` iterations. Valid
+    because the binning compacts occupied slots to the low indices of every
+    cell, so every occupied slot index (either side of a pair) is < mo —
+    chunks past the bound are pure sentinel work. The b-axis bound is the
+    round-2 "ref-slice-then-shift" lead: partner triples are built per
+    b-chunk by dynamically slicing the input REFS at an 8-aligned b0
+    (Mosaic lowers dynamic slices on refs only) and then applying the lane
+    -plane shifts — shifts are row-independent lane ops, so
+    slice-then-shift == shift-then-slice, and total shift work is unchanged
+    (42 arrays x <= cap rows across all b-chunks)."""
     if with_energy:
         (mo_ref, xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
          fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref, e_ref, re_ref) = refs
@@ -123,18 +135,22 @@ def _newton_kernel3(
          fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref) = refs
         e_ref = re_ref = None
 
-    x_self, y_self, z_self = xs_ref[0], ys_ref[0], zs_ref[0]  # (C, P)
-    x_next, y_next, z_next = xn_ref[0], yn_ref[0], zn_ref[0]
+    lanes = xs_ref.shape[2]
     if row_wrap:
         pid = pl.program_id(0)
-        x_next = x_next + jnp.where(pid == n_rows - 1, box, 0.0).astype(x_next.dtype)
+        x_wrap = jnp.where(pid == n_rows - 1, box, 0.0).astype(jnp.float32)
+    else:
+        x_wrap = None
 
-    lanes = x_self.shape[1]
     fscale = 24.0 * epsilon / sigma2
-    ca = a_chunk
-    n_chunks = cap // ca
-    nc_dyn = jnp.clip((mo_ref[0] + ca - 1) // ca, 1, n_chunks)
-    sub_b = jax.lax.broadcasted_iota(jnp.int32, (ca * cap, lanes), 0) % cap
+    ca, cb = a_chunk, b_chunk
+    na_dyn = jnp.clip((mo_ref[0] + ca - 1) // ca, 1, cap // ca)
+    nb_dyn = jnp.clip((mo_ref[0] + cb - 1) // cb, 1, cap // cb)
+
+    kk = (ca * cb, lanes)
+    sh3 = (ca, cb, lanes)
+    sub_a_loc = jax.lax.broadcasted_iota(jnp.int32, kk, 0) // cb
+    sub_b_loc = jax.lax.broadcasted_iota(jnp.int32, kk, 0) % cb
 
     def partner(src_x, src_y, src_z, dy, dz):
         return (
@@ -148,32 +164,15 @@ def _newton_kernel3(
         components carry no coordinate deltas)."""
         return _shift_plane(v, -dy, -dz, ncy, ncz)
 
-    # Precompute the 14 shifted partner coordinate triples (loop-invariant,
-    # (C, P) each — ~42 small arrays). The pair math runs inside a fori_loop
-    # over a-chunks so only ONE chunk's (ca*C, P) temporaries are live at a
-    # time: a fully unrolled chunk x block body was measured at 143.8 MB of
-    # scoped VMEM at the N=100k scale (cap 48, P 384) — over the chip's
-    # 128 MB — while this loop form holds a few MB.
-    blocks = [("self", x_self, y_self, z_self, 0, 0)]
-    for _, dy, dz in _SAME_ROW:
-        px, py, pz = partner(x_self, y_self, z_self, dy, dz)
-        blocks.append(("same", px, py, pz, dy, dz))
-    for _, dy, dz in _NEXT_ROW:
-        px, py, pz = partner(x_next, y_next, z_next, dy, dz)
-        blocks.append(("next", px, py, pz, dy, dz))
-
-    kk = (ca * cap, lanes)
-    sh3 = (ca, cap, lanes)
-
-    def rep_b(v):  # partner coords: row k = a*cap + b holds v[b]
+    def rep_b(v):  # partner coords: row k = a*cb + b holds v[b]
         return jnp.broadcast_to(v[None, :, :], sh3).reshape(kk)
 
-    def rep_a(v):  # chunk self coords: row k = a*cap + b holds v[a]
+    def rep_a(v):  # chunk self coords: row k = a*cb + b holds v[a]
         return jnp.broadcast_to(v[:, None, :], sh3).reshape(kk)
 
     # Output refs double as accumulators (Mosaic lowers dynamic indexing on
-    # REFS, not values — pl.ds below; and ref accumulation keeps one chunk's
-    # temporaries live at a time instead of one per unrolled segment).
+    # REFS, not values — pl.ds below; and ref accumulation keeps one chunk
+    # pair's temporaries live at a time instead of one per unrolled segment).
     zero_cp = jnp.zeros((cap, lanes), jnp.float32)
     for ref in (fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref):
         ref[0] = zero_cp
@@ -181,70 +180,120 @@ def _newton_kernel3(
         e_ref[0] = zero_cp
         re_ref[0] = zero_cp
 
-    def chunk_body(ci, _):
-        a0 = pl.multiple_of(ci * ca, ca)
-        x_i = rep_a(xs_ref[0, pl.ds(a0, ca)])
-        y_i = rep_a(ys_ref[0, pl.ds(a0, ca)])
-        z_i = rep_a(zs_ref[0, pl.ds(a0, ca)])
-        fa_x = fa_y = fa_z = jnp.zeros((ca, lanes), jnp.float32)
-        ea = jnp.zeros((ca, lanes), jnp.float32) if with_energy else None
+    def b_body(bj, _):
+        b0 = pl.multiple_of(bj * cb, cb)
+        xs_b = xs_ref[0, pl.ds(b0, cb)]  # (cb, P)
+        ys_b = ys_ref[0, pl.ds(b0, cb)]
+        zs_b = zs_ref[0, pl.ds(b0, cb)]
+        xn_b = xn_ref[0, pl.ds(b0, cb)]
+        yn_b = yn_ref[0, pl.ds(b0, cb)]
+        zn_b = zn_ref[0, pl.ds(b0, cb)]
+        if x_wrap is not None:
+            xn_b = xn_b + x_wrap
+        # 14 shifted partner coordinate triples for THIS b-chunk (42 (cb, P)
+        # arrays, a few hundred kB — the loop structure keeps scoped VMEM to
+        # one b-chunk's partners + one (a,b) chunk pair's temporaries; a
+        # fully unrolled body was measured at 143.8 MB at the N=100k scale).
+        blocks = [("self", xs_b, ys_b, zs_b, 0, 0)]
+        for _, dy, dz in _SAME_ROW:
+            px, py, pz = partner(xs_b, ys_b, zs_b, dy, dz)
+            blocks.append(("same", px, py, pz, dy, dz))
+        for _, dy, dz in _NEXT_ROW:
+            px, py, pz = partner(xn_b, yn_b, zn_b, dy, dz)
+            blocks.append(("next", px, py, pz, dy, dz))
 
-        for kind, px, py, pz, dy, dz in blocks:
-            dx = x_i - rep_b(px)
-            dyy = y_i - rep_b(py)
-            dzz = z_i - rep_b(pz)
-            r2 = dx * dx + dyy * dyy + dzz * dzz
-            valid = (r2 < cutoff2) & (r2 > 0.0)
-            if kind == "self":
-                # a < b, with a = chunk-local row + chunk offset
-                sub_a = jax.lax.broadcasted_iota(jnp.int32, kk, 0) // cap + a0
-                valid = valid & (sub_a < sub_b)
-            r2s = jnp.where(valid, r2, 1.0)
-            inv = sigma2 / r2s
-            s6 = inv * inv * inv
-            s12 = s6 * s6
-            fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
-            fxb = (fmag * dx).reshape(sh3)
-            fyb = (fmag * dyy).reshape(sh3)
-            fzb = (fmag * dzz).reshape(sh3)
-            fa_x = fa_x + jnp.sum(fxb, axis=1)
-            fa_y = fa_y + jnp.sum(fyb, axis=1)
-            fa_z = fa_z + jnp.sum(fzb, axis=1)
-            bx = jnp.sum(fxb, axis=0)
-            by = jnp.sum(fyb, axis=0)
-            bz = jnp.sum(fzb, axis=0)
-            if kind == "self":
-                fx_ref[0] = fx_ref[0] - bx
-                fy_ref[0] = fy_ref[0] - by
-                fz_ref[0] = fz_ref[0] - bz
-            elif kind == "same":
-                fx_ref[0] = fx_ref[0] - unshift(bx, dy, dz)
-                fy_ref[0] = fy_ref[0] - unshift(by, dy, dz)
-                fz_ref[0] = fz_ref[0] - unshift(bz, dy, dz)
-            else:
-                rfx_ref[0] = rfx_ref[0] - unshift(bx, dy, dz)
-                rfy_ref[0] = rfy_ref[0] - unshift(by, dy, dz)
-                rfz_ref[0] = rfz_ref[0] - unshift(bz, dy, dz)
+        # b-side (reaction) sums ride the a-loop CARRY as register values and
+        # hit the refs ONCE per b-chunk below — per-(a,b,block) dynamically
+        # -sliced ref read-modify-writes were measured at 2.21 ms/step vs
+        # 1.46 for the round-2 kernel (672 small sliced RMWs/call); this form
+        # keeps ~(nb*8 + na*nb*4) sliced ops.
+        zb = jnp.zeros((cb, lanes), jnp.float32)
+        acc0 = (zb,) * 8 if with_energy else (zb,) * 6
+
+        def a_body(ci, acc):
+            a0 = pl.multiple_of(ci * ca, ca)
+            x_i = rep_a(xs_ref[0, pl.ds(a0, ca)])
+            y_i = rep_a(ys_ref[0, pl.ds(a0, ca)])
+            z_i = rep_a(zs_ref[0, pl.ds(a0, ca)])
             if with_energy:
-                ebk = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0).reshape(sh3)
-                ea = ea + jnp.sum(ebk, axis=1)
-                ebs = jnp.sum(ebk, axis=0)
-                if kind == "self":
-                    e_ref[0] = e_ref[0] + ebs
-                elif kind == "same":
-                    e_ref[0] = e_ref[0] + unshift(ebs, dy, dz)
-                else:
-                    re_ref[0] = re_ref[0] + unshift(ebs, dy, dz)
+                sx, sy, sz, nx, ny, nz, se, ne = acc
+            else:
+                sx, sy, sz, nx, ny, nz = acc
+                se = ne = None
+            fa_x = fa_y = fa_z = jnp.zeros((ca, lanes), jnp.float32)
+            ea = jnp.zeros((ca, lanes), jnp.float32) if with_energy else None
 
-        # this chunk's a-side rows are disjoint: accumulate at [a0 : a0+ca)
-        fx_ref[0, pl.ds(a0, ca)] = fx_ref[0, pl.ds(a0, ca)] + fa_x
-        fy_ref[0, pl.ds(a0, ca)] = fy_ref[0, pl.ds(a0, ca)] + fa_y
-        fz_ref[0, pl.ds(a0, ca)] = fz_ref[0, pl.ds(a0, ca)] + fa_z
+            for kind, px, py, pz, dy, dz in blocks:
+                dx = x_i - rep_b(px)
+                dyy = y_i - rep_b(py)
+                dzz = z_i - rep_b(pz)
+                r2 = dx * dx + dyy * dyy + dzz * dzz
+                valid = (r2 < cutoff2) & (r2 > 0.0)
+                if kind == "self":
+                    # a < b, in global slot indices
+                    valid = valid & (sub_a_loc + a0 < sub_b_loc + b0)
+                r2s = jnp.where(valid, r2, 1.0)
+                inv = sigma2 / r2s
+                s6 = inv * inv * inv
+                s12 = s6 * s6
+                fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
+                fxb = (fmag * dx).reshape(sh3)
+                fyb = (fmag * dyy).reshape(sh3)
+                fzb = (fmag * dzz).reshape(sh3)
+                fa_x = fa_x + jnp.sum(fxb, axis=1)
+                fa_y = fa_y + jnp.sum(fyb, axis=1)
+                fa_z = fa_z + jnp.sum(fzb, axis=1)
+                bx = jnp.sum(fxb, axis=0)
+                by = jnp.sum(fyb, axis=0)
+                bz = jnp.sum(fzb, axis=0)
+                if kind == "self":
+                    sx, sy, sz = sx + bx, sy + by, sz + bz
+                elif kind == "same":
+                    sx = sx + unshift(bx, dy, dz)
+                    sy = sy + unshift(by, dy, dz)
+                    sz = sz + unshift(bz, dy, dz)
+                else:
+                    nx = nx + unshift(bx, dy, dz)
+                    ny = ny + unshift(by, dy, dz)
+                    nz = nz + unshift(bz, dy, dz)
+                if with_energy:
+                    ebk = jnp.where(
+                        valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0
+                    ).reshape(sh3)
+                    ea = ea + jnp.sum(ebk, axis=1)
+                    ebs = jnp.sum(ebk, axis=0)
+                    if kind == "self":
+                        se = se + ebs
+                    elif kind == "same":
+                        se = se + unshift(ebs, dy, dz)
+                    else:
+                        ne = ne + unshift(ebs, dy, dz)
+
+            # this chunk's a-side rows are disjoint: accumulate at [a0, a0+ca)
+            fx_ref[0, pl.ds(a0, ca)] = fx_ref[0, pl.ds(a0, ca)] + fa_x
+            fy_ref[0, pl.ds(a0, ca)] = fy_ref[0, pl.ds(a0, ca)] + fa_y
+            fz_ref[0, pl.ds(a0, ca)] = fz_ref[0, pl.ds(a0, ca)] + fa_z
+            if with_energy:
+                e_ref[0, pl.ds(a0, ca)] = e_ref[0, pl.ds(a0, ca)] + ea
+                return (sx, sy, sz, nx, ny, nz, se, ne)
+            return (sx, sy, sz, nx, ny, nz)
+
+        acc = jax.lax.fori_loop(0, na_dyn, a_body, acc0)
+
+        # fold this b-chunk's reaction sums into the outputs (Newton: minus)
+        bsl = (0, pl.ds(b0, cb))
+        fx_ref[bsl] = fx_ref[bsl] - acc[0]
+        fy_ref[bsl] = fy_ref[bsl] - acc[1]
+        fz_ref[bsl] = fz_ref[bsl] - acc[2]
+        rfx_ref[bsl] = rfx_ref[bsl] - acc[3]
+        rfy_ref[bsl] = rfy_ref[bsl] - acc[4]
+        rfz_ref[bsl] = rfz_ref[bsl] - acc[5]
         if with_energy:
-            e_ref[0, pl.ds(a0, ca)] = e_ref[0, pl.ds(a0, ca)] + ea
+            e_ref[bsl] = e_ref[bsl] + acc[6]
+            re_ref[bsl] = re_ref[bsl] + acc[7]
         return 0
 
-    jax.lax.fori_loop(0, nc_dyn, chunk_body, 0)
+    jax.lax.fori_loop(0, nb_dyn, b_body, 0)
 
     # zero padding lanes (reaction unshifts duplicate seam values into them)
     live = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1) < ncy * ncz
@@ -262,6 +311,7 @@ def make_grid_force_kernel3(
     interpret: Optional[bool] = None,
     with_energy: bool = False,
     a_chunk: Optional[int] = None,
+    b_chunk: Optional[int] = None,
     n_rows: Optional[int] = None,
 ):
     """3D grid-level entry point: ``(xg, yg, zg) -> (fx, fy, fz)`` (or
@@ -270,7 +320,9 @@ def make_grid_force_kernel3(
     2D counterpart: cell_pallas.make_grid_force_kernel.
 
     ``a_chunk``: self-capacity rows per VMEM chunk (must divide C; default
-    targets ~1 MB pair-block temporaries).
+    targets ~1 MB pair-block temporaries). ``b_chunk``: partner-capacity
+    rows per chunk (must divide C, 8-aligned; default 8 — the finest
+    dynamic-occupancy granularity, see _newton_kernel3).
 
     ``n_rows``: x-row count the call operates on (default: the full grid).
     The sharded 3D engine passes its per-device row count and uses the
@@ -292,16 +344,27 @@ def make_grid_force_kernel3(
     )
     lanes = _round_up(cps * cps, 128)
     if a_chunk is None:
-        # largest multiple-of-8 divisor of cap with (a_chunk*cap*lanes) f32
-        # <= ~1.5 MB pair-block temporaries. Must be a multiple of 8: Mosaic
-        # requires dynamic sublane starts provably 8-aligned (the kernel
-        # slices the capacity axis at a_chunk strides).
-        cands = [c for c in range(8, cap + 1, 8) if cap % c == 0]
-        fits = [c for c in cands if c * cap * lanes * 4 <= 1.5 * 2**20]
-        a_chunk = max(fits) if fits else (min(cands) if cands else cap)
+        # measured-fastest (results/md3_chunk_sweep.py): the finest 8-row
+        # self chunks — (8,16) beat (16,16) at cap 48 and every coarser
+        # shape; the dynamic occupancy bound then rounds covered self rows
+        # to the tightest multiple of 8 >= max_occ. Must be a multiple of 8:
+        # Mosaic requires dynamic sublane starts provably 8-aligned (the
+        # kernel slices the capacity axis at a_chunk strides).
+        a_chunk = 8 if cap % 8 == 0 else cap
     assert cap % a_chunk == 0, f"a_chunk {a_chunk} must divide capacity {cap}"
     assert a_chunk % 8 == 0 or a_chunk == cap, (
         f"a_chunk {a_chunk} must be 8-aligned (sublane slicing)"
+    )
+    if b_chunk is None:
+        # measured (results/md3_chunk_sweep.py, N=100k, mo 27): b=16 beats
+        # b=8 (partner-triple builds + per-chunk ref RMWs halve) and beats
+        # b=cap (dynamic occupancy bound covers 32 not 40+ partner rows);
+        # when 16 doesn't divide the capacity, b=cap beat b=8 — fall back
+        # to the full-span partner axis, not to finer chunks.
+        b_chunk = 16 if cap % 16 == 0 else cap
+    assert cap % b_chunk == 0, f"b_chunk {b_chunk} must divide capacity {cap}"
+    assert b_chunk % 8 == 0 or b_chunk == cap, (
+        f"b_chunk {b_chunk} must be 8-aligned (sublane slicing)"
     )
 
     sc6 = (sigma / cutoff) ** 6
@@ -319,6 +382,7 @@ def make_grid_force_kernel3(
         n_rows=rows,
         with_energy=with_energy,
         a_chunk=a_chunk,
+        b_chunk=b_chunk,
     )
     n_out = 8 if with_energy else 6
 

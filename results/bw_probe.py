@@ -2,13 +2,14 @@
 
 Round-2 VERDICT weak item 1: the committed stream number (324 GB/s, x+1 in a
 fori_loop) contradicts the FFT roofline row (742 GB/s on the same chip).
-Hypothesis: the loop-carry of the 256 MB buffer costs an extra copy per
-iteration (real traffic 2x the counted read+write), or the single dependent
-chain under-issues HBM. This probe times the candidates with the same
-fused-loop + host-read sync discipline as bench/runners.py and prints
-counted GB/s + XLA cost_analysis bytes for each.
+Hypothesis (confirmed for the MD probes, see md3_sustained_probe.py): the
+~25 ms per-dispatch tunnel latency spread over only 50 loop iterations adds
+~0.5 ms to a ~0.7 ms/iter op — a 324-GB/s-shaped haircut on a ~740 GB/s
+machine. This probe (a) measures the null-dispatch latency and subtracts
+it, (b) runs 400 iterations per dispatch, and (c) still prints counted
+GB/s + XLA cost_analysis bytes for each candidate formulation.
 
-Run on the real chip:  python results/bw_probe.py
+Run on the real chip:  PYTHONPATH=/root/repo:/root/.axon_site python results/bw_probe.py
 """
 
 import time
@@ -19,8 +20,17 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 N = 64 * 1024 * 1024  # 256 MB f32
-STEPS = 50
+STEPS = 400
 DT = jnp.float32
+
+_lat_c = jax.jit(lambda x: x + 1.0)
+_ = float(_lat_c(jnp.zeros(())))
+LAT = float("inf")
+for _ in range(5):
+    _t0 = time.perf_counter()
+    _ = float(_lat_c(jnp.zeros(())))
+    LAT = min(LAT, time.perf_counter() - _t0)
+print(f"null-dispatch latency: {LAT * 1e3:.2f} ms (subtracted)")
 
 
 def timed(fn, *args):
@@ -31,7 +41,7 @@ def timed(fn, *args):
         t0 = time.perf_counter()
         _ = float(c(*args))
         best = min(best, time.perf_counter() - t0)
-    return best / STEPS
+    return (best - LAT) / STEPS
 
 
 def report(name, secs, counted_bytes, xla_bytes=None):
@@ -74,7 +84,7 @@ for _ in range(3):
     t0 = time.perf_counter()
     _ = float(v2j(xc))
     best = min(best, time.perf_counter() - t0)
-report("v2 x+1 fori donated", best / STEPS, 2 * x.nbytes)
+report("v2 x+1 fori donated", (best - LAT) / STEPS, 2 * x.nbytes)
 
 # 3. four independent streams (ILP across buffers), quarter size each
 xs = tuple(

@@ -37,6 +37,16 @@ def lattice(n, box, key, kt=1.0):
     return pos, vel
 
 
+_null = jax.jit(lambda x: x + 1.0)
+_ = float(_null(jnp.zeros(())))
+LAT = float("inf")
+for _ in range(5):
+    _t0 = time.perf_counter()
+    _ = float(_null(jnp.zeros(())))
+    LAT = min(LAT, time.perf_counter() - _t0)
+print(f"null-dispatch latency: {LAT * 1e3:.2f} ms (subtracted from every timing)")
+
+
 def timeit(fn, *args, reps=3, inner=1):
     c = jax.jit(fn)
     out = c(*args)
@@ -48,7 +58,7 @@ def timeit(fn, *args, reps=3, inner=1):
         out = c(*args)
         _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
         best = min(best, time.perf_counter() - t0)
-    return best / inner
+    return max(best - LAT, 1e-9) / inner
 
 
 def probe(N):
@@ -84,25 +94,33 @@ def probe(N):
     t_w = timeit(window, s, inner=W)
     print(f"window : {t_w * 1e3:7.3f} ms/step (over {W} fused steps)")
 
-    # 3. one forced migration rebuild
-    t_r = timeit(md._rebuild_migrate, s)
-    print(f"rebuild: {t_r * 1e3:7.3f} ms/rebuild "
-          f"(amortized {t_r / n_inner * 1e3:.3f} ms/step at the auto cadence)")
+    # 3. forced migration rebuilds, chained so latency amortizes
+    R = 30
 
-    # 4. production chunk at auto params (includes the gate + cond rebuild)
+    def rloop(st):
+        def body(i, st):
+            return md._rebuild_migrate(st)
+
+        return jax.lax.fori_loop(0, R, body, st)
+
+    t_r = timeit(rloop, s, inner=R)
+    print(f"rebuild: {t_r * 1e3:7.3f} ms/rebuild ({R} chained)")
+
+    # 4. production chunks at auto params (includes the gate + cond rebuild);
+    #    long enough that the steady-state rebuild cadence is represented
     chunk = md.make_chunk_step(n_inner, gate)
+    NC = max(1, 400 // n_inner)
 
-    def chunk4(st):
+    def chunkloop(st):
         def body(i, st):
             return chunk(st)
 
-        return jax.lax.fori_loop(0, 4, body, st)
+        return jax.lax.fori_loop(0, NC, body, st)
 
-    t_c = timeit(chunk4, s, inner=4 * n_inner)
-    print(f"chunk  : {t_c * 1e3:7.3f} ms/step (4 chunks x {n_inner}) "
+    t_c = timeit(chunkloop, s, inner=NC * n_inner)
+    print(f"chunk  : {t_c * 1e3:7.3f} ms/step ({NC} chunks x {n_inner}) "
           f"-> {N / t_c / 1e6:.1f}M psps")
-    print(f"residual (chunk - window - rebuild/n_inner): "
-          f"{(t_c - t_w - t_r / n_inner) * 1e3:7.3f} ms/step")
+    print(f"rebuild share (chunk - window): {(t_c - t_w) * 1e3:7.3f} ms/step")
 
 
 for N in [int(a) for a in sys.argv[1:]] or (100_000, 1_000_000):
