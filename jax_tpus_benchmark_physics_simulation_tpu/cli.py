@@ -27,9 +27,17 @@ from jax_tpus_benchmark_physics_simulation_tpu.report import console
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: first-compile of the Pallas/Mosaic
     kernels costs ~2 minutes on remote-compile TPU backends; the cache makes
-    every later process start instant."""
+    every later process start instant. CPU backends are skipped: compiles
+    there are fast, and serializing large CPU executables at cache-write
+    time has been observed to segfault (and the CLI runs in-process under
+    pytest, where this config update would leak into every later test)."""
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        pass
     cache_dir = os.environ.get(
         "JTPS_COMPILATION_CACHE", os.path.expanduser("~/.cache/jtps_xla")
     )

@@ -54,6 +54,37 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas import (
 SENTINEL_FACTOR = 2.5
 
 
+def permute_rows_by_inverse(dest_flat, fields, fills, size: int, dtype):
+    """Apply the slot permutation ``out[dest[i]] = row_i(fields)`` (holes ->
+    ``fills``) as ONE single-column int scatter + ONE multi-column row
+    gather, instead of a multi-column row scatter.
+
+    Why (measured on v5e, results/scatter_probe.py): the (size, F) row
+    scatter hits a ~13-16 MB target-size cliff — 84M rows/s below it, 10M
+    rows/s above (246 ms at the 2.48M-slot N=1M grid, THE N=1M bottleneck
+    of round 2). Inverting first keeps the scatter target at 4 bytes/row
+    (1.4 ms for 2.48M rows) and the row gather runs at 267M rows/s
+    (9.3 ms) — 23x faster at N=1M, ~5x at N=100k, identical semantics:
+    ``inv[t] = i  iff  dest[i] = t`` (dest is injective on live rows), and
+    unwritten targets keep ``size`` which gathers the fills row.
+    """
+    size_i = jnp.int32(size)
+    inv = (
+        jnp.full((size + 1,), size_i, jnp.int32)
+        .at[dest_flat]
+        .set(jnp.arange(size, dtype=jnp.int32), mode="drop", unique_indices=True)
+    )[:size]
+    vals = jnp.stack([v.reshape(-1) for v in fields], axis=-1)  # (size, F)
+    vals_ext = jnp.concatenate(
+        [vals, jnp.asarray(fills, dtype)[None, :]], axis=0
+    )
+    out = jnp.take(vals_ext, inv, axis=0)  # (size, F)
+    # barrier: without it XLA fuses this ONE row gather into the F
+    # per-column consumers, replicating it as F element gathers (measured
+    # 78 ms instead of ~11 at N=1M)
+    return jax.lax.optimization_barrier(out)
+
+
 @struct.dataclass
 class GridMDState:
     """All (ncx, C, ncy_pad)-shaped leaves live permanently on device.
@@ -128,6 +159,7 @@ class GridMD:
         self.lanes = _round_up(rows_per_block * self.cps, 128)
         self.grid_shape = (self.n_blocks, self.cap, self.lanes)
         self.size = self.n_blocks * self.cap * self.lanes
+        self._migrate_cache = {}
         # hot-path kernel: forces only; energy kernel: built the same way,
         # called only at sampling points (potential_energy).
         if rows_per_block > 1:
@@ -208,16 +240,13 @@ class GridMD:
         )
 
     # -- migration rebuild (sort-free) ----------------------------------------
-    def _rebuild_migrate(self, s: GridMDState) -> GridMDState:
-        """Sort-free re-binning exploiting temporal coherence: between
-        rebuilds every particle moves < skin/2 < cell size, so its new cell
-        is one of the 9 neighbors of its assigned cell. Slot allocation per
-        target cell is computed with rolls + small-axis cumsums (no global
-        argsort — measured 79 ms for the sort-based rebuild at N=100k on
-        v5e vs ~5 ms for this). A particle that somehow moved further than
-        one cell raises ``overflow`` (and is kept in place — loud, not
-        silent). Coordinates are wrapped back into [0, box) here (the only
-        place they ever are) and empty slots re-filled with the sentinel."""
+    def _migration_dest(self, s: GridMDState):
+        """Allocation phase of the migration rebuild: wrapped coordinates,
+        per-slot flat destination index (``self.size`` = dropped), the
+        per-slot source code ``dcode * cap + b`` consumed by the migrate
+        kernel (migrate_pallas), and the overflow flag. Split out so
+        results/rebuild_phase_probe.py can time allocation and permutation
+        separately."""
         cps, cap, lanes, box = self.cps, self.cap, self.lanes, self.box
         rpb = self.rows_per_block
         gs = self.grid_shape
@@ -303,13 +332,95 @@ class GridMD:
             ((txc // rpb) * cap + target_a) * lanes + (txc % rpb) * cps + tyc
         ).astype(jnp.int32)
         dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
-        dest_flat = dest.reshape(-1)
+        slot_b = jax.lax.broadcasted_iota(jnp.int32, gs, 1)
+        code = ((dxc + 1) * 3 + (dyc + 1)) * cap + slot_b
+        return xw, yw, dest.reshape(-1), code.reshape(-1), overflow
 
-        # ONE packed row-scatter instead of one element-scatter per field:
-        # TPU scatters are descriptor-serial per index, so moving all F
-        # fields per index amortizes that fixed cost F-fold (measured ~6x
-        # faster rebuild at N=100k). pid rides along as f32 — exact for
-        # n < 2^24.
+    def _migrate_call(self, n_fields: int, fills):
+        """Cached migrate_pallas kernel for this grid (see its module
+        docstring: gathers/scatters are descriptor-bound at ~84M rows/s on
+        v5e regardless of row width; the dense compare/select kernel does
+        the same permutation VPU-bound, 64 -> ~2 ms at N=1M)."""
+        key = (n_fields, tuple(fills))
+        cached = self._migrate_cache.get(key)
+        if cached is None:
+            from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.migrate_pallas import (
+                make_migrate_kernel,
+            )
+
+            cached = make_migrate_kernel(
+                self.cps, self.cap, self.rows_per_block, n_fields, fills
+            )
+            self._migrate_cache[key] = cached
+        return cached
+
+    def _rebuild_migrate(self, s: GridMDState) -> GridMDState:
+        """Sort-free re-binning exploiting temporal coherence: between
+        rebuilds every particle moves < skin/2 < cell size, so its new cell
+        is one of the 9 neighbors of its assigned cell. Slot allocation per
+        target cell is computed with rolls + small-axis cumsums (no global
+        argsort — measured 79 ms for the sort-based rebuild at N=100k on
+        v5e vs ~5 ms for this); the slot permutation itself is the dense
+        migrate_pallas kernel driven by ONE single-column int scatter. A
+        particle that somehow moved further than one cell raises
+        ``overflow`` (and is kept in place — loud, not silent). Coordinates
+        are wrapped back into [0, box) here (the only place they ever are)
+        and empty slots re-filled with the sentinel."""
+        gs = self.grid_shape
+        xw, yw, dest_flat, code_flat, overflow = self._migration_dest(s)
+
+        # ONE single-column int scatter builds the target-frame code grid
+        # (-1 = empty); the Pallas kernel then realizes the permutation as
+        # dense compare/selects. pid rides as f32 — exact for n < 2^24.
+        assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
+        dtype = s.xg.dtype
+        code_grid = (
+            jnp.full((self.size + 1,), -1, jnp.int32)
+            .at[dest_flat]
+            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
+            .reshape(gs)
+        )
+        fields = [xw, yw, s.vxg, s.vyg, s.fxg, s.fyg, s.pid.astype(dtype)]
+        fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
+        if s.crx is not None:
+            fields += [s.crx, s.cry, s.cvx, s.cvy]
+            fills += [0.0, 0.0, 0.0, 0.0]
+        out = self._migrate_call(len(fields), fills)(code_grid, *fields)
+        occ = out[-1]
+
+        zg = jnp.zeros(gs, dtype)
+        comp = (
+            dict(crx=out[7], cry=out[8], cvx=out[9], cvy=out[10])
+            if s.crx is not None
+            else {}
+        )
+        return s.replace(
+            xg=out[0],
+            yg=out[1],
+            vxg=out[2],
+            vyg=out[3],
+            fxg=out[4],
+            fyg=out[5],
+            occ=occ,
+            pid=out[6].astype(jnp.int32),
+            dispx=zg,
+            dispy=zg,
+            dmax2=jnp.zeros((), dtype),
+            overflow=overflow,
+            **comp,
+        )
+
+    def _rebuild_migrate_rows(self, s: GridMDState) -> GridMDState:
+        """Row-permutation variant of :meth:`_rebuild_migrate`: the same
+        allocation, applied with an inverse-index scatter + (size, F) row
+        gather (permute_rows_by_inverse) instead of the Pallas kernel.
+        Slower on one chip (descriptor-bound, see migrate_pallas docstring)
+        but pure jnp — GSPMD can shard it, so ShardedGridMD rebuilds with
+        this on the sharded global state (a pallas_call cannot be
+        auto-partitioned)."""
+        gs = self.grid_shape
+        xw, yw, dest_flat, _code, overflow = self._migration_dest(s)
+
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
         fields = [xw, yw, s.vxg, s.vyg, s.fxg, s.fyg, s.occ,
@@ -318,14 +429,10 @@ class GridMD:
         if s.crx is not None:
             fields += [s.crx, s.cry, s.cvx, s.cvy]
             fills += [0.0, 0.0, 0.0, 0.0]
-        vals = jnp.stack([v.reshape(-1) for v in fields], axis=-1)  # (size, F)
-        base = jnp.broadcast_to(
-            jnp.asarray(fills, dtype), (self.size + 1, len(fields))
-        )
-        out = base.at[dest_flat].set(vals, mode="drop", unique_indices=True)
+        out = permute_rows_by_inverse(dest_flat, fields, fills, self.size, dtype)
 
         def take(k):
-            return out[: self.size, k].reshape(gs)
+            return out[:, k].reshape(gs)
 
         zg = jnp.zeros(gs, dtype)
         comp = (

@@ -29,7 +29,10 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas import _r
 from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas3 import (
     make_grid_force_kernel3,
 )
-from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import SENTINEL_FACTOR
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import (
+    SENTINEL_FACTOR,
+    permute_rows_by_inverse,
+)
 
 
 @struct.dataclass
@@ -170,31 +173,59 @@ class GridMD3:
         )
 
     # -- migration rebuild (sort-free) ----------------------------------------
+    @staticmethod
+    def _shift_lane_plane(v: jax.Array, dy: int, dz: int, ncy: int, ncz: int) -> jax.Array:
+        """Value-level twin of cell_pallas3._shift_plane on the LAST axis:
+        ``out[..., y*ncz + z] = v[..., ((y+dy)%ncy)*ncz + (z+dz)%ncz]`` for
+        live lanes (two rolls + one seam select per axis). Padding lanes
+        (col >= ncy*ncz) end up with garbage; callers only read live lanes
+        (the rebuild's masks are False there). Live lanes never READ padding:
+        non-seam lanes stay within the live block and seam lanes take the
+        wrap roll, which lands back inside it."""
+        n = v.shape[-1]
+        col = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+        if dz:
+            main = jnp.roll(v, (-dz) % n, axis=-1)
+            if dz == 1:
+                wrap = jnp.roll(v, (ncz - 1) % n, axis=-1)
+                v = jnp.where(col % ncz == ncz - 1, wrap, main)
+            else:
+                wrap = jnp.roll(v, (-(ncz - 1)) % n, axis=-1)
+                v = jnp.where(col % ncz == 0, wrap, main)
+        if dy:
+            main = jnp.roll(v, (-dy * ncz) % n, axis=-1)
+            if dy == 1:
+                wrap = jnp.roll(v, ((ncy - 1) * ncz) % n, axis=-1)
+                v = jnp.where(col // ncz == ncy - 1, wrap, main)
+            else:
+                wrap = jnp.roll(v, (-(ncy - 1) * ncz) % n, axis=-1)
+                v = jnp.where(col // ncz == 0, wrap, main)
+        return v
+
     def _rebuild_migrate(self, s: GridMD3State) -> GridMD3State:
         """3D migration re-binning: between rebuilds every particle moved
         < skin/2 < cell size, so its new cell is one of the 27 neighbors.
-        Runs in the unpacked 4D view (ncx, C, ncy, ncz) where ``jnp.roll``
-        is exactly periodic on every cell axis (the lane padding is sliced
-        off first and re-applied at the end) — unlike the 2D engine's padded
-        lane axis, no wrap-column patching is needed here. Otherwise
-        identical to grid_md.GridMD._rebuild_migrate (see its docstring for
-        the allocation argument)."""
-        cps, cap, box = self.cps, self.cap, self.box
-        g4 = (cps, cap, cps, cps)  # (cx, a, cy, cz)
-        live = cps * cps
+        Runs entirely in the PACKED (ncx, C, P) layout: y/z cell rolls are
+        lane-axis rolls with periodic-seam selects (_shift_lane_plane — the
+        same scheme the force kernel uses for partner planes), x rolls are
+        plain axis-0 rolls. The earlier unpacked (ncx, C, ncy, ncz) variant
+        paid minor-dims-(17,17) tiling (~13% lane utilization) on every one
+        of the 27 direction passes plus a relayout per field: measured
+        8.5 ms -> this form ~4-5 ms per rebuild at 3D N=100k cap 48.
+        Otherwise identical to grid_md.GridMD._rebuild_migrate (see its
+        docstring for the allocation argument)."""
+        cps, cap, box, lanes = self.cps, self.cap, self.box, self.lanes
+        shp = self.grid_shape  # (ncx, C, P)
 
-        def unpack(v):
-            return v[:, :, :live].reshape(g4)
+        occ_b = s.occ > 0.5
+        xw = jnp.mod(s.xg, box)
+        yw = jnp.mod(s.yg, box)
+        zw = jnp.mod(s.zg, box)
 
-        occ4 = unpack(s.occ)
-        occ_b = occ4 > 0.5
-        xw = jnp.mod(unpack(s.xg), box)
-        yw = jnp.mod(unpack(s.yg), box)
-        zw = jnp.mod(unpack(s.zg), box)
-
-        cx = jax.lax.broadcasted_iota(jnp.int32, g4, 0)
-        cy = jax.lax.broadcasted_iota(jnp.int32, g4, 2)
-        cz = jax.lax.broadcasted_iota(jnp.int32, g4, 3)
+        cx = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+        cy = col // cps  # live lanes: lane = cy*ncz + cz (ncy = ncz = cps)
+        cz = col % cps
         cell = box / cps
         txc = jnp.clip((xw // cell).astype(jnp.int32), 0, cps - 1)
         tyc = jnp.clip((yw // cell).astype(jnp.int32), 0, cps - 1)
@@ -211,9 +242,11 @@ class GridMD3:
         dzc = jnp.where(moved_far, 0, dzc)
 
         def roll_cells(v, dx, dy, dz):
-            shifts = [sh for sh in ((dx, 0), (dy, 2), (dz, 3)) if sh[0]]
-            if shifts:
-                v = jnp.roll(v, [sh[0] for sh in shifts], axis=[sh[1] for sh in shifts])
+            if dx:
+                v = jnp.roll(v, dx, axis=0)
+            if dy or dz:
+                # roll forward by (dy, dz) == read from (-dy, -dz)
+                v = self._shift_lane_plane(v, -dy, -dz, cps, cps)
             return v
 
         dirs = [
@@ -222,8 +255,8 @@ class GridMD3:
             for dy in (-1, 0, 1)
             for dz in (-1, 0, 1)
         ]
-        base_at_target = jnp.zeros((cps, 1, cps, cps), jnp.int32)
-        target_a = jnp.full(g4, -1, jnp.int32)
+        base_at_target = jnp.zeros((cps, 1, lanes), jnp.int32)
+        target_a = jnp.full(shp, -1, jnp.int32)
         for dx, dy, dz in dirs:
             m = occ_b & (dxc == dx) & (dyc == dy) & (dzc == dz)
             m_i = m.astype(jnp.int32)
@@ -236,32 +269,29 @@ class GridMD3:
         slot_overflow = jnp.any((target_a >= cap) & occ_b)
         overflow = overflow | slot_overflow
 
-        # flat destination in the PACKED layout; OOB -> dropped
+        # flat destination in the same packed layout; OOB/pad -> dropped
         tlane = tyc * cps + tzc
-        dest = ((txc * cap + target_a) * self.lanes + tlane).astype(jnp.int32)
+        dest = ((txc * cap + target_a) * lanes + tlane).astype(jnp.int32)
         dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
         dest_flat = dest.reshape(-1)
 
-        # one packed (size, F) row-scatter (see grid_md.py: ~6x faster than
-        # per-field element scatters; pid rides along as f32, exact n < 2^24)
+        # one inverse-index scatter + one row gather (grid_md.
+        # permute_rows_by_inverse: 23x faster than the (size, F) row scatter
+        # at 2.48M slots; pid rides along as f32, exact n < 2^24). Pad-lane
+        # rows carry dest=size and drop.
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
-        fields = [xw, yw, zw, unpack(s.vxg), unpack(s.vyg), unpack(s.vzg),
-                  unpack(s.fxg), unpack(s.fyg), unpack(s.fzg), occ4,
-                  unpack(s.pid).astype(dtype)]
+        fields = [xw, yw, zw, s.vxg, s.vyg, s.vzg,
+                  s.fxg, s.fyg, s.fzg, s.occ,
+                  s.pid.astype(dtype)]
         fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
         if s.crx is not None:
-            fields += [unpack(s.crx), unpack(s.cry), unpack(s.crz),
-                       unpack(s.cvx), unpack(s.cvy), unpack(s.cvz)]
+            fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
             fills += [0.0] * 6
-        vals = jnp.stack([v.reshape(-1) for v in fields], axis=-1)  # (live, F)
-        base = jnp.broadcast_to(
-            jnp.asarray(fills, dtype), (self.size + 1, len(fields))
-        )
-        out = base.at[dest_flat].set(vals, mode="drop", unique_indices=True)
+        out = permute_rows_by_inverse(dest_flat, fields, fills, self.size, dtype)
 
         def take(k):
-            return out[: self.size, k].reshape(self.grid_shape)
+            return out[:, k].reshape(self.grid_shape)
 
         zeros = jnp.zeros(self.grid_shape, dtype)
         comp = (

@@ -97,6 +97,11 @@ class ShardedGridMD(GridMD):
     def prepare(self, state: GridMDState) -> GridMDState:
         return self.shard_state(state)
 
+    # The single-chip engine rebuilds with the Pallas migrate kernel, which
+    # GSPMD cannot auto-partition; rebuild the sharded global state with the
+    # pure-jnp row permutation instead (same allocation, same semantics).
+    _rebuild_migrate = GridMD._rebuild_migrate_rows
+
     # -- sharding helpers -----------------------------------------------------
     def _state_specs(self, state: GridMDState):
         def spec(leaf):

@@ -25,7 +25,7 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import (
 from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import GridMD
 from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md3 import GridMD3
 
-STEPS = 200
+STEPS = 600
 
 
 def lattice(n, box, key, dim=2, kt=1.0):
@@ -38,6 +38,16 @@ def lattice(n, box, key, dim=2, kt=1.0):
     return pos, vel
 
 
+_null = jax.jit(lambda x: x + 1.0)
+_ = float(_null(jnp.zeros(())))
+LAT = float("inf")
+for _ in range(5):
+    _t0 = time.perf_counter()
+    _ = float(_null(jnp.zeros(())))
+    LAT = min(LAT, time.perf_counter() - _t0)
+print(f"null-dispatch latency: {LAT * 1e3:.2f} ms (subtracted from every timing)")
+
+
 def timeit(fn, *args, reps=3):
     c = jax.jit(fn)
     _ = float(c(*args))
@@ -46,7 +56,7 @@ def timeit(fn, *args, reps=3):
         t0 = time.perf_counter()
         _ = float(c(*args))
         best = min(best, time.perf_counter() - t0)
-    return best / STEPS
+    return max(best - LAT, 1e-9) / STEPS
 
 
 # ---- 1. VPU ceilings -------------------------------------------------------
@@ -153,8 +163,8 @@ def probe3d():
     cap = md.cap
     lanes = md.lanes
     rows = md.cps
-    ca = 8 if cap % 8 == 0 else cap  # default a_chunk at this scale
-    cb = 8 if cap % 8 == 0 else cap
+    ca = 8 if cap % 8 == 0 else cap  # default a_chunk (cell_pallas3)
+    cb = 16 if cap % 16 == 0 else cap  # default b_chunk
 
     for mo in (int(s.max_occ), 28, cap):
         def loop(xg, yg, zg, mo=mo):

@@ -1,24 +1,33 @@
 #!/usr/bin/env bash
-# Full test suite in TWO pytest processes (alphabetical split at
-# test_grid_md3_sharded): a single process accumulates XLA-compile RSS on the
-# 1-CPU host and can segfault near the end (CLAUDE.md). This script is the
+# Full test suite in FOUR pytest processes (alphabetical splits): one process
+# accumulates XLA-CPU-compile RSS/state on the 1-CPU host and can segfault
+# inside backend_compile_and_load near its end (observed at ~98 heavy
+# compiles in round 3; every test passes in isolation). This script is the
 # one-command version of the documented split — "N green" should mean
 # "./run_tests.sh exited 0".
 set -u
 cd "$(dirname "$0")"
 
-FIRST=$(ls tests/test_*.py | sort | awk '$0 < "tests/test_grid_md3_sharded.py"')
-SECOND=$(ls tests/test_*.py | sort | awk '$0 >= "tests/test_grid_md3_sharded.py"')
+# alphabetical group boundaries (start-inclusive)
+BOUNDS=("tests/test_graft_entry.py" "tests/test_grid_md3.py" "tests/test_grid_md3_sharded.py")
 
-echo "=== half 1 ==="
-python -m pytest $FIRST -q "$@"
-rc1=$?
-echo "=== half 2 ==="
-python -m pytest $SECOND -q "$@"
-rc2=$?
+ALL=$(ls tests/test_*.py | sort)
+G1=$(echo "$ALL" | awk -v b="${BOUNDS[0]}" '$0 < b')
+G2=$(echo "$ALL" | awk -v a="${BOUNDS[0]}" -v b="${BOUNDS[1]}" '$0 >= a && $0 < b')
+G3=$(echo "$ALL" | awk -v a="${BOUNDS[1]}" -v b="${BOUNDS[2]}" '$0 >= a && $0 < b')
+G4=$(echo "$ALL" | awk -v a="${BOUNDS[2]}" '$0 >= a')
 
-if [ $rc1 -ne 0 ] || [ $rc2 -ne 0 ]; then
-  echo "SUITE: FAILED (half1=$rc1 half2=$rc2)"
+fail=0
+i=0
+for group in "$G1" "$G2" "$G3" "$G4"; do
+  i=$((i + 1))
+  echo "=== group $i ==="
+  # shellcheck disable=SC2086
+  python -m pytest $group -q "$@" || fail=1
+done
+
+if [ $fail -ne 0 ]; then
+  echo "SUITE: FAILED"
   exit 1
 fi
 echo "SUITE: all green"
