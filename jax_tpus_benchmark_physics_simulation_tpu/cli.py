@@ -90,6 +90,12 @@ def _add_md(sub):
     p.add_argument("--force-impl", type=str, default="auto",
                    choices=["auto", "dense_xla", "dense_pallas", "neighbor", "cell", "grid"])
     p.add_argument("--init", type=str, default="uniform", choices=["uniform", "lattice"])
+    p.add_argument("--thermostat", type=str, default="none",
+                   choices=["none", "langevin"],
+                   help="NVT via BAOAB Langevin windows at kT (grid engine "
+                        "only; the reference is NVE-only)")
+    p.add_argument("--gamma", type=float, default=1.0,
+                   help="Langevin friction coefficient (1/time)")
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR")
@@ -272,11 +278,14 @@ def cmd_md(args) -> int:
         cutoff=args.cutoff,
         force_impl=getattr(args, "force_impl"),
         init=args.init,
+        thermostat=getattr(args, "thermostat", "none"),
+        gamma=getattr(args, "gamma", 1.0),
     )
+    ens = "NVE" if cfg.thermostat == "none" else f"NVT (langevin, gamma={cfg.gamma})"
     console.panel(
         f"N={cfg.n}  rho={cfg.rho}  kT={cfg.kt}  box={cfg.box_size:.2f}\n"
         f"steps: {cfg.eq_steps:,} eq / {cfg.prod_steps:,} prod  dt={cfg.dt}\n"
-        f"force: {lj_fluid.resolve_impl(cfg)}  cutoff={cfg.cutoff}",
+        f"force: {lj_fluid.resolve_impl(cfg)}  cutoff={cfg.cutoff}  ensemble: {ens}",
         title="Molecular Dynamics (TPU-native)",
     )
     if getattr(args, "profile", None):
@@ -302,11 +311,14 @@ def cmd_md(args) -> int:
     import math
 
     drift = res.energy_drift
-    drift_s = (
-        f"{drift:.2e}"
-        if math.isfinite(drift)
-        else "n/a (singular start: uniform init allows particle overlaps; use --init lattice)"
-    )
+    if cfg.thermostat != "none":
+        # the thermostat exchanges energy with the bath by design — the
+        # NVE conservation metric does not apply
+        drift_s = "n/a (NVT: thermostat exchanges energy with the bath)"
+    elif math.isfinite(drift):
+        drift_s = f"{drift:.2e}"
+    else:
+        drift_s = "n/a (singular start: uniform init allows particle overlaps; use --init lattice)"
     console.log(
         f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s; "
         f"energy drift: {drift_s}"

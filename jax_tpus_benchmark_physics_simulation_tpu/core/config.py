@@ -43,6 +43,14 @@ class MDConfig:
     # drift (measured 7.3e-3 -> ~1e-6 over 1M steps at N=100k) for ~25% step
     # cost. Default on: correctness first.
     compensated: bool = True
+    # NVT ensemble (grid path): "langevin" runs BAOAB Langevin windows at
+    # temperature ``kt`` through equilibration AND production (the reference
+    # is NVE-only and large lattice melts transiently exceed the kt=1 skin
+    # sizing — the thermostat pins kT so 1M-particle runs equilibrate
+    # without tripping the violation gate). "none" = NVE (reference
+    # behavior).
+    thermostat: str = "none"  # none | langevin
+    gamma: float = 1.0  # Langevin friction (1/time units)
 
     @property
     def box_size(self) -> float:

@@ -132,6 +132,22 @@ def _make_grid_md(cfg: MDConfig):
     return GridMD(gf, **kw)
 
 
+def _grid_thermostat(cfg: MDConfig):
+    """``(gamma, kT)`` for BAOAB Langevin windows, or None for NVE.
+    Validation happens in :func:`run`/CLI; here we just translate."""
+    if cfg.thermostat == "langevin":
+        return (cfg.gamma, cfg.kt)
+    if cfg.thermostat not in ("none", None):
+        raise ValueError(f"unknown thermostat {cfg.thermostat!r} (none | langevin)")
+    return None
+
+
+def _grid_seed(cfg: MDConfig):
+    """PRNG seed for stochastic windows (decorrelated from the init-velocity
+    stream by a fixed offset); None keeps the state rng-free for NVE."""
+    return cfg.seed + 0x5EED if cfg.thermostat == "langevin" else None
+
+
 def _grid_inner_steps(cfg: MDConfig, md) -> Tuple[int, float]:
     """Rebuild cadence: ``(n_inner, gate_frac)`` from the engine's coupled
     sizing (high gate = fewer expensive migration rebuilds), with the window
@@ -268,13 +284,16 @@ def equilibrate(cfg: MDConfig, state: ParticleState):
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
         k, gate = _grid_inner_steps(cfg, md)
-        gs = md.prepare(md.init(state.position, state.velocity))
+        thermo = _grid_thermostat(cfg)
+        gs = md.prepare(
+            md.init(state.position, state.velocity, seed=_grid_seed(cfg))
+        )
         n_chunks, rem = divmod(cfg.eq_steps, k)
         if n_chunks:
-            chunk = md.make_chunk_step(k, gate_frac=gate)
+            chunk = md.make_chunk_step(k, gate_frac=gate, thermostat=thermo)
             gs = run_steps(chunk, gs, n_chunks)
         if rem:
-            gs = md.make_chunk_step(rem, gate_frac=gate)(gs)
+            gs = md.make_chunk_step(rem, gate_frac=gate, thermostat=thermo)(gs)
         return (
             state.replace(
                 position=md.positions(gs),
@@ -305,8 +324,11 @@ def production(cfg: MDConfig, state: ParticleState):
     if resolve_impl(cfg) == "grid":
         md = _make_grid_md(cfg)
         k, gate = _grid_inner_steps(cfg, md)
-        gs = md.prepare(md.init(state.position, state.velocity))
-        chunk = md.make_chunk_step(k, gate_frac=gate)
+        thermo = _grid_thermostat(cfg)
+        gs = md.prepare(
+            md.init(state.position, state.velocity, seed=_grid_seed(cfg))
+        )
+        chunk = md.make_chunk_step(k, gate_frac=gate, thermostat=thermo)
         per_sample = cfg.sample_every // k
 
         def sample_block(g, _):
@@ -325,7 +347,7 @@ def production(cfg: MDConfig, state: ParticleState):
             if n2:
                 gs = run_steps(chunk, gs, n2)
             if r2:
-                gs = md.make_chunk_step(r2, gate_frac=gate)(gs)
+                gs = md.make_chunk_step(r2, gate_frac=gate, thermostat=thermo)(gs)
         final = state.replace(
             position=md.positions(gs),
             velocity=md.velocities(gs),
@@ -397,6 +419,12 @@ def run(
     nothing finer to tick; parity with the reference's per-phase spinners).
     """
     cfg = cfg or MDConfig()
+    if cfg.thermostat not in ("none", None) and resolve_impl(cfg) != "grid":
+        raise ValueError(
+            f"thermostat={cfg.thermostat!r} is implemented for the grid "
+            f"engine only (resolved force_impl: {resolve_impl(cfg)!r}); "
+            "use --force-impl grid / a cutoff so the grid path dispatches"
+        )
     state = init_state(cfg, key)
 
     def phase(desc):

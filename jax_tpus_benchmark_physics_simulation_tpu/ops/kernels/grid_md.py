@@ -40,6 +40,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import CellGridFn
@@ -114,6 +115,9 @@ class GridMDState:
     cry: Optional[jax.Array] = None
     cvx: Optional[jax.Array] = None
     cvy: Optional[jax.Array] = None
+    # PRNG key for stochastic (Langevin) windows; None for NVE. Not a
+    # per-slot field — rebuilds carry it through untouched.
+    rng: Optional[jax.Array] = None
 
 
 class GridMD:
@@ -210,7 +214,11 @@ class GridMD:
         """Placement hook (ShardedGridMD shards here; base is identity)."""
         return state
 
-    def init(self, position: jax.Array, velocity: jax.Array) -> GridMDState:
+    def init(
+        self, position: jax.Array, velocity: jax.Array, seed: Optional[int] = None
+    ) -> GridMDState:
+        """``seed`` arms the state's PRNG stream (required by Langevin
+        windows, ignored by NVE ones)."""
         slot2, overflow = self._slot2(position)
         dtype = position.dtype
 
@@ -231,12 +239,13 @@ class GridMD:
         fxg, fyg = self.force_kernel(xg, yg)
         zg = jnp.zeros(self.grid_shape, dtype)
         comp = dict(crx=zg, cry=zg, cvx=zg, cvy=zg) if self.compensated else {}
+        rng = {} if seed is None else dict(rng=jax.random.PRNGKey(seed))
         return GridMDState(
             xg=xg, yg=yg, vxg=vxg, vyg=vyg, fxg=fxg, fyg=fyg,
             occ=occ, pid=pid, dispx=zg, dispy=zg,
             dmax2=jnp.zeros((), dtype),
             overflow=overflow, time=jnp.zeros((), dtype),
-            **comp,
+            **comp, **rng,
         )
 
     # -- migration rebuild (sort-free) ----------------------------------------
@@ -526,7 +535,9 @@ class GridMD:
         c = (t - x) - y
         return t, c
 
-    def _make_window(self, force_fn, n_inner: int, reduce_max=None):
+    def _make_window(
+        self, force_fn, n_inner: int, reduce_max=None, thermostat=None, rng_fold=None
+    ):
         """Leapfrog window: ``window(s) -> s`` advancing ``n_inner``
         velocity-Verlet steps with ONE force call and ONE fused elementwise
         pass per step (kick+drift merged; half-kick in / half-unkick out at
@@ -540,15 +551,41 @@ class GridMD:
 
         ``force_fn(x, y) -> (fx, fy)`` returns reaction-folded totals;
         ``reduce_max`` post-processes the scalar displacement max (the
-        sharded engine passes a pmax)."""
+        sharded engine passes a pmax).
+
+        ``thermostat=(gamma, kT)`` makes each step a BAOAB Langevin step
+        (NVT): the exact Ornstein-Uhlenbeck map ``vh <- c1*vh + c2*xi`` sits
+        between two half-drifts, with ``c1 = exp(-gamma*dt)`` and
+        ``c2 = sqrt(kT*(1-c1^2))`` (unit mass). Both drifts use velocities
+        the force never sees mid-step, so the single force call per step is
+        preserved. Noise is occupancy-masked — sentinel slots stay exactly
+        at rest. Requires ``s.rng`` (see :meth:`init` ``seed``); velocity
+        Kahan compensation is bypassed under a thermostat (the OU map
+        rescales vh, which would desynchronize the residuals — and a
+        thermostatted run has no conserved energy to protect).
+
+        ``rng_fold``: per-call key post-fold — the sharded engines pass
+        ``fold_in(k, axis_index)`` so each shard draws a decorrelated noise
+        stream from the replicated state key. Noise shape follows the
+        (possibly shard-local) array shape, not the global grid."""
         dt = self.dt
         comp = bool(self.compensated)
         pos_only = self.compensated == "positions"
         kadd = self._kadd
         if reduce_max is None:
             reduce_max = lambda v: v
+        if rng_fold is None:
+            rng_fold = lambda k: k
+        if thermostat is not None:
+            gamma, kt_target = thermostat
+            c1 = float(np.exp(-gamma * dt))
+            c2 = float(np.sqrt(kt_target * (1.0 - c1 * c1)))
 
         def window(s: GridMDState) -> GridMDState:
+            if thermostat is not None and s.rng is None:
+                raise ValueError(
+                    "Langevin window needs a PRNG stream: init(..., seed=...)"
+                )
             vhx = s.vxg + 0.5 * dt * s.fxg
             vhy = s.vyg + 0.5 * dt * s.fyg
             dm0 = s.dispx * s.dispx + s.dispy * s.dispy
@@ -559,8 +596,19 @@ class GridMD:
 
             def body(i, c):
                 x, y, crx, cry, vhx, vhy, cvx, cvy, dpx, dpy, dm, fx, fy = c
-                incx = dt * vhx
-                incy = dt * vhy
+                if thermostat is None:
+                    incx = dt * vhx
+                    incy = dt * vhy
+                else:
+                    # A O A: drift half on vh, OU-refresh vh, drift half on
+                    # the refreshed vh; the increments fuse into one add.
+                    k = rng_fold(jax.random.fold_in(s.rng, i))
+                    xi = jax.random.normal(k, (2,) + x.shape, x.dtype)
+                    vpx = c1 * vhx + c2 * (xi[0] * s.occ)
+                    vpy = c1 * vhy + c2 * (xi[1] * s.occ)
+                    incx = 0.5 * dt * (vhx + vpx)
+                    incy = 0.5 * dt * (vhy + vpy)
+                    vhx, vhy = vpx, vpy
                 if comp:
                     x, crx = kadd(x, crx, incx)
                     y, cry = kadd(y, cry, incy)
@@ -571,7 +619,7 @@ class GridMD:
                 dpy = dpy + incy
                 dm = jnp.maximum(dm, dpx * dpx + dpy * dpy)
                 fx, fy = force_fn(x, y)
-                if comp and not pos_only:
+                if comp and not pos_only and thermostat is None:
                     vhx, cvx = kadd(vhx, cvx, dt * fx)
                     vhy, cvy = kadd(vhy, cvy, dt * fy)
                 else:
@@ -586,6 +634,11 @@ class GridMD:
             # reference's overlapping uniform init) must TRIP the flag,
             # not slip past it (NaN > t is False; ~(NaN <= t) is True)
             violation = ~(dmax2 <= (0.5 * self.skin) ** 2)
+            rng = (
+                {}
+                if thermostat is None
+                else dict(rng=jax.random.fold_in(s.rng, n_inner))
+            )
             return s.replace(
                 xg=x, yg=y,
                 vxg=vhx - 0.5 * dt * fx,
@@ -596,6 +649,7 @@ class GridMD:
                 dmax2=dmax2,
                 overflow=s.overflow | violation,
                 time=s.time + n_inner * dt,
+                **rng,
             )
 
         return window
@@ -613,7 +667,7 @@ class GridMD:
         s = jax.lax.cond(self._needs_rebuild(s), self._rebuild_migrate, lambda t: t, s)
         return self.step_nocheck(s)
 
-    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25, thermostat=None):
         """Returns ``chunk(s) -> s`` advancing ``n_inner`` steps with a single
         (conditional) rebuild up front and a branch-free leapfrog window.
         ``gate_frac``: rebuild when displacement-since-rebuild exceeds this
@@ -622,8 +676,10 @@ class GridMD:
         violation at skin/2 — size ``n_inner`` with
         :meth:`auto_inner_steps` using the SAME ``gate_frac``. Higher gates
         buy fewer (expensive, ~4.5 ms) rebuilds at the price of shorter
-        windows; 0.4 measured optimal at N=100k (results/RESULTS.md)."""
-        window = self._make_window(self.force_kernel, n_inner)
+        windows; 0.4 measured optimal at N=100k (results/RESULTS.md).
+        ``thermostat=(gamma, kT)`` makes the windows BAOAB Langevin (NVT) —
+        see :meth:`_make_window`."""
+        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
 
         def chunk(s: GridMDState) -> GridMDState:
             s = jax.lax.cond(

@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_dense import CellGridFn
@@ -70,6 +71,9 @@ class GridMD3State:
     cvx: Optional[jax.Array] = None
     cvy: Optional[jax.Array] = None
     cvz: Optional[jax.Array] = None
+    # PRNG key for stochastic (Langevin) windows; None for NVE. Not a
+    # per-slot field — rebuilds carry it through untouched.
+    rng: Optional[jax.Array] = None
 
 
 class GridMD3:
@@ -135,7 +139,11 @@ class GridMD3:
         """Global max cell occupancy (slot axis is 1)."""
         return jnp.max(jnp.sum(occ, axis=1)).astype(jnp.int32)
 
-    def init(self, position: jax.Array, velocity: jax.Array) -> GridMD3State:
+    def init(
+        self, position: jax.Array, velocity: jax.Array, seed: Optional[int] = None
+    ) -> GridMD3State:
+        """``seed`` arms the state's PRNG stream (required by Langevin
+        windows, ignored by NVE ones)."""
         slot, overflow = self._slot3(position)
         dtype = position.dtype
 
@@ -162,6 +170,7 @@ class GridMD3:
             if self.compensated
             else {}
         )
+        rng = {} if seed is None else dict(rng=jax.random.PRNGKey(seed))
         return GridMD3State(
             xg=xg, yg=yg, zg=zg, vxg=vxg, vyg=vyg, vzg=vzg,
             fxg=fxg, fyg=fyg, fzg=fzg,
@@ -169,7 +178,7 @@ class GridMD3:
             dmax2=jnp.zeros((), dtype),
             overflow=overflow, time=jnp.zeros((), dtype),
             max_occ=max_occ,
-            **comp,
+            **comp, **rng,
         )
 
     # -- migration rebuild (sort-free) ----------------------------------------
@@ -380,18 +389,33 @@ class GridMD3:
         c = (t - x) - y
         return t, c
 
-    def _make_window(self, force_fn, n_inner: int, reduce_max=None):
+    def _make_window(
+        self, force_fn, n_inner: int, reduce_max=None, thermostat=None, rng_fold=None
+    ):
         """Leapfrog window, 3D (see grid_md.GridMD._make_window — identical
         scheme, one force call + one fused elementwise pass per step, skin
-        monitor via displacement accumulators, violation flagged at skin/2)."""
+        monitor via displacement accumulators, violation flagged at skin/2;
+        ``thermostat=(gamma, kT)`` -> BAOAB Langevin, occupancy-masked
+        noise, velocity compensation bypassed; ``rng_fold`` decorrelates
+        shard-local noise streams)."""
         dt = self.dt
         comp = bool(self.compensated)
         pos_only = self.compensated == "positions"
         kadd = self._kadd
         if reduce_max is None:
             reduce_max = lambda v: v
+        if rng_fold is None:
+            rng_fold = lambda k: k
+        if thermostat is not None:
+            gamma, kt_target = thermostat
+            c1 = float(np.exp(-gamma * dt))
+            c2 = float(np.sqrt(kt_target * (1.0 - c1 * c1)))
 
         def window(s: GridMD3State) -> GridMD3State:
+            if thermostat is not None and s.rng is None:
+                raise ValueError(
+                    "Langevin window needs a PRNG stream: init(..., seed=...)"
+                )
             mo = s.max_occ  # constant between rebuilds (binning is fixed)
             vhx = s.vxg + 0.5 * dt * s.fxg
             vhy = s.vyg + 0.5 * dt * s.fyg
@@ -406,7 +430,19 @@ class GridMD3:
             def body(i, c):
                 (x, y, z, crx, cry, crz, vhx, vhy, vhz, cvx, cvy, cvz,
                  dpx, dpy, dpz, dm, fx, fy, fz) = c
-                incx, incy, incz = dt * vhx, dt * vhy, dt * vhz
+                if thermostat is None:
+                    incx, incy, incz = dt * vhx, dt * vhy, dt * vhz
+                else:
+                    # A O A (see grid_md): OU-refresh between two half-drifts
+                    k = rng_fold(jax.random.fold_in(s.rng, i))
+                    xi = jax.random.normal(k, (3,) + x.shape, x.dtype)
+                    vpx = c1 * vhx + c2 * (xi[0] * s.occ)
+                    vpy = c1 * vhy + c2 * (xi[1] * s.occ)
+                    vpz = c1 * vhz + c2 * (xi[2] * s.occ)
+                    incx = 0.5 * dt * (vhx + vpx)
+                    incy = 0.5 * dt * (vhy + vpy)
+                    incz = 0.5 * dt * (vhz + vpz)
+                    vhx, vhy, vhz = vpx, vpy, vpz
                 if comp:
                     x, crx = kadd(x, crx, incx)
                     y, cry = kadd(y, cry, incy)
@@ -416,7 +452,7 @@ class GridMD3:
                 dpx, dpy, dpz = dpx + incx, dpy + incy, dpz + incz
                 dm = jnp.maximum(dm, dpx * dpx + dpy * dpy + dpz * dpz)
                 fx, fy, fz = force_fn(x, y, z, mo)
-                if comp and not pos_only:
+                if comp and not pos_only and thermostat is None:
                     vhx, cvx = kadd(vhx, cvx, dt * fx)
                     vhy, cvy = kadd(vhy, cvy, dt * fy)
                     vhz, cvz = kadd(vhz, cvz, dt * fz)
@@ -433,6 +469,11 @@ class GridMD3:
             # reference's overlapping uniform init) must TRIP the flag,
             # not slip past it (NaN > t is False; ~(NaN <= t) is True)
             violation = ~(dmax2 <= (0.5 * self.skin) ** 2)
+            rng = (
+                {}
+                if thermostat is None
+                else dict(rng=jax.random.fold_in(s.rng, n_inner))
+            )
             return s.replace(
                 xg=x, yg=y, zg=z,
                 vxg=vhx - 0.5 * dt * fx,
@@ -444,6 +485,7 @@ class GridMD3:
                 dmax2=dmax2,
                 overflow=s.overflow | violation,
                 time=s.time + n_inner * dt,
+                **rng,
             )
 
         return window
@@ -455,11 +497,12 @@ class GridMD3:
         s = jax.lax.cond(self._needs_rebuild(s), self._rebuild_migrate, lambda t: t, s)
         return self.step_nocheck(s)
 
-    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25, thermostat=None):
         """``chunk(s) -> s``: one displacement-gated rebuild + a branch-free
         n_inner-step leapfrog window (see grid_md.GridMD.make_chunk_step for
-        the gate/window sizing contract)."""
-        window = self._make_window(self.force_kernel, n_inner)
+        the gate/window sizing contract; ``thermostat=(gamma, kT)`` -> BAOAB
+        Langevin windows)."""
+        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
 
         def chunk(s: GridMD3State) -> GridMD3State:
             s = jax.lax.cond(

@@ -133,10 +133,14 @@ class ShardedGridMD3(GridMD3):
         )
 
     # -- sharded windows --------------------------------------------------------
-    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25, thermostat=None):
         ax = self.axis_name
         window = self._make_window(
-            self._halo_force, n_inner, reduce_max=lambda v: lax.pmax(v, ax)
+            self._halo_force,
+            n_inner,
+            reduce_max=lambda v: lax.pmax(v, ax),
+            thermostat=thermostat,
+            rng_fold=lambda k: jax.random.fold_in(k, lax.axis_index(ax)),
         )
 
         def chunk(s: GridMD3State) -> GridMD3State:

@@ -147,13 +147,20 @@ class ShardedGridMD(GridMD):
         return fx + self._shift_reaction(rfx), fy + self._shift_reaction(rfy)
 
     # -- sharded windows --------------------------------------------------------
-    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25):
+    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25, thermostat=None):
         """Sharded chunk: conditional (global, GSPMD) migration rebuild, then
         one shard_map leapfrog window of ``n_inner`` steps (see
-        GridMD.make_chunk_step for the gate/window sizing contract)."""
+        GridMD.make_chunk_step for the gate/window sizing contract).
+        ``thermostat=(gamma, kT)``: BAOAB Langevin windows — each shard
+        draws its own noise stream (the replicated state key folded with
+        the shard index)."""
         ax = self.axis_name
         window = self._make_window(
-            self._halo_force, n_inner, reduce_max=lambda v: lax.pmax(v, ax)
+            self._halo_force,
+            n_inner,
+            reduce_max=lambda v: lax.pmax(v, ax),
+            thermostat=thermostat,
+            rng_fold=lambda k: jax.random.fold_in(k, lax.axis_index(ax)),
         )
 
         def chunk(s: GridMDState) -> GridMDState:
