@@ -319,9 +319,10 @@ def cmd_md(args) -> int:
         drift_s = f"{drift:.2e}"
     else:
         drift_s = "n/a (singular start: uniform init allows particle overlaps; use --init lattice)"
+    p_s = f"; P* = {res.pressure:.4f}" if math.isfinite(res.pressure) else ""
     console.log(
         f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s; "
-        f"energy drift: {drift_s}"
+        f"energy drift: {drift_s}{p_s}"
     )
     if res.overflow:
         console.log(
@@ -345,6 +346,7 @@ def cmd_md(args) -> int:
             "time_rdf_s": res.time_rdf_s,
             "particle_steps_per_sec": res.particle_steps_per_sec,
             "energy_drift": drift,
+            "pressure": res.pressure,
             "overflow": res.overflow,
             "rdf_subset": res.rdf_subset,
         },

@@ -392,6 +392,9 @@ class MDResult:
     # physics after that point is suspect. Never silently dropped.
     overflow: bool = False
     rdf_subset: int = 0  # >0: g(r) was estimated from this many particles
+    # Instantaneous virial pressure of the final state (grid engine only;
+    # NaN elsewhere). The reference computes no pressure at all.
+    pressure: float = float("nan")
 
     @property
     def energy_drift(self) -> float:
@@ -481,6 +484,13 @@ def run(
     time_rdf = time.perf_counter() - t0
     phase_done(task)
 
+    pressure = float("nan")
+    if resolve_impl(cfg) == "grid":
+        # one sampling-kernel pass on the final state (virial + KE)
+        md = _make_grid_md(cfg)
+        gs = md.prepare(md.init(final.position, final.velocity))
+        pressure = float(md.pressure(gs))
+
     res = MDResult(
         state=final,
         r_history=r_hist,
@@ -496,5 +506,6 @@ def run(
         / max(time_eq + time_prod, 1e-12),
         overflow=overflow,
         rdf_subset=_RDF_MAX_PARTICLES if cfg.n > _RDF_MAX_PARTICLES else 0,
+        pressure=pressure,
     )
     return res

@@ -41,7 +41,7 @@ Design choices that matter for speed (all measured on TPU v5e):
   explicit halo-built neighbor rows instead; see ``.raw``.)
 
 Interface (``make_grid_force_kernel``): ``(xg, yg) -> (fx, fy)`` totals, or
-``(fx, fy, e)`` with ``with_energy=True`` — all arrays in the
+``(fx, fy, e, w)`` with ``with_energy=True`` (w = pair virial) — all arrays in the
 (ncx, C, ncy_pad) grid layout. No per-particle scatter/gather anywhere.
 """
 
@@ -93,7 +93,7 @@ def _newton_kernel(
     with_energy,
 ):
     """Newton's-third-law cell kernel. Ref order:
-    (xs, xn, ys, yn) -> (fx, fy, rfx, rfy[, e, re]).
+    (xs, xn, ys, yn) -> (fx, fy, rfx, rfy[, e, re, w, rw]).
 
     ``row_wrap``: single-chip mode — the neighbor row is ``(i+1) % n_rows``
     of the same grid, so the last program's neighbor sits across the periodic
@@ -101,10 +101,11 @@ def _newton_kernel(
     passes ``row_wrap=False``.
     """
     if with_energy:
-        xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref, e_ref, re_ref = refs
+        (xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref,
+         e_ref, re_ref, w_ref, rw_ref) = refs
     else:
         xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref = refs
-        e_ref = re_ref = None
+        e_ref = re_ref = w_ref = rw_ref = None
 
     x_self = xs_ref[0]  # (C, ncy_pad)
     y_self = ys_ref[0]
@@ -160,6 +161,12 @@ def _newton_kernel(
         if with_energy:
             eb = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0).reshape(shape3)
             out += [jnp.sum(eb, axis=1), jnp.sum(eb, axis=0)]
+            # pair virial r.f = 24*eps*(2*s12 - s6) (same intermediates as
+            # the force; feeds the pressure observable)
+            wb = jnp.where(valid, (2.0 * s12 - s6), 0.0).reshape(shape3) * (
+                fscale * sigma2
+            )
+            out += [jnp.sum(wb, axis=1), jnp.sum(wb, axis=0)]
         return out
 
     # (0,0): same cell, each pair counted once (a < b), reaction in-block
@@ -168,6 +175,7 @@ def _newton_kernel(
     fy_acc = out[1] - out[3]
     if with_energy:
         e_acc = out[4] + out[5]
+        w_acc = out[6] + out[7]
 
     # (0,+1): same row, next column; reaction shifted back one column
     out = pair(
@@ -177,6 +185,7 @@ def _newton_kernel(
     fy_acc += out[1] - _shift_lane(out[3], -1, ncy)
     if with_energy:
         e_acc += out[4] + _shift_lane(out[5], -1, ncy)
+        w_acc += out[6] + _shift_lane(out[7], -1, ncy)
 
     # (+1, dy): next row; reactions accumulate into the per-row reaction
     # outputs, expressed in the next row's own lane frame (shift back by dy)
@@ -198,6 +207,9 @@ def _newton_kernel(
             e_acc += out[4]
             re = _shift_lane(out[5], -dy, ncy)
             re_acc = re if dy == -1 else re_acc + re
+            w_acc += out[6]
+            rw = _shift_lane(out[7], -dy, ncy)
+            rw_acc = rw if dy == -1 else rw_acc + rw
 
     # Zero the padding lanes: the lane shifts duplicate the wrap-column
     # values into lane ``ncy`` (the roll moves them there; only the wrap
@@ -211,6 +223,8 @@ def _newton_kernel(
     if with_energy:
         e_ref[0] = jnp.where(live, e_acc, zero)
         re_ref[0] = jnp.where(live, re_acc, zero)
+        w_ref[0] = jnp.where(live, w_acc, zero)
+        rw_ref[0] = jnp.where(live, rw_acc, zero)
 
 
 def make_grid_force_kernel(
@@ -221,7 +235,7 @@ def make_grid_force_kernel(
     n_rows: Optional[int] = None,
     with_energy: bool = False,
 ):
-    """Grid-level entry point: ``(xg, yg) -> (fx, fy)`` (or ``(fx, fy, e)``)
+    """Grid-level entry point: ``(xg, yg) -> (fx, fy)`` (or ``(fx, fy, e, w)``)
     where all arrays have the (ncx, C, ncy_pad) cell-grid layout with
     x-sentinels at empty slots (grid_md.sentinel_flat). Forces/energies are
     reaction-folded totals. Used directly by the grid-resident MD engine
@@ -231,7 +245,7 @@ def make_grid_force_kernel(
     grid). The sharded engine passes the per-device row count and uses the
     attached ``.raw(xs, xn, ys, yn)``, supplying halo-built neighbor-row
     arrays itself (with the periodic +box x-adjustment applied on the seam
-    device); ``.raw`` returns ``(fx, fy, rfx, rfy[, e, re])`` with the
+    device); ``.raw`` returns ``(fx, fy, rfx, rfy[, e, re, w, rw])`` with the
     reaction rows UNSHIFTED (row i holds the reaction destined for row i+1 —
     the caller owns the shift, which crosses device boundaries when sharded).
 
@@ -265,7 +279,7 @@ def make_grid_force_kernel(
         n_rows=rows,
         with_energy=with_energy,
     )
-    n_out = 6 if with_energy else 4
+    n_out = 8 if with_energy else 4
 
     def block(index_map):
         return pl.BlockSpec((1, cap, ncy_pad), index_map, memory_space=pltpu.VMEM)
@@ -290,7 +304,7 @@ def make_grid_force_kernel(
         n_blk = next_blk if shifted else self_blk
         out_specs = [self_blk, self_blk, n_blk, n_blk]
         if with_energy:
-            out_specs += [self_blk, n_blk]
+            out_specs += [self_blk, n_blk, self_blk, n_blk]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -308,7 +322,7 @@ def make_grid_force_kernel(
         fx = out[0] + out[2]
         fy = out[1] + out[3]
         if with_energy:
-            return fx, fy, out[4] + out[5]
+            return fx, fy, out[4] + out[5], out[6] + out[7]
         return fx, fy
 
     raw_call = build(row_wrap=False, shifted=False)

@@ -39,7 +39,7 @@ beyond-reference scope) — cross-checked against the dense oracle in
 tests/test_grid_md3.py.
 
 Interface (``make_grid_force_kernel3``): ``(xg, yg, zg) -> (fx, fy, fz)``
-totals, or ``(..., e)`` with ``with_energy=True``.
+totals, or ``(..., e, w)`` with ``with_energy=True`` (w = pair virial).
 """
 
 from __future__ import annotations
@@ -113,7 +113,7 @@ def _newton_kernel3(
     b_chunk,
 ):
     """3D Newton cell kernel. Ref order:
-    (mo, xs, xn, ys, yn, zs, zn) -> (fx, fy, fz, rfx, rfy, rfz[, e, re])
+    (mo, xs, xn, ys, yn, zs, zn) -> (fx, fy, fz, rfx, rfy, rfz[, e, re, w, rw])
     where ``mo`` is an SMEM (1,) int32 holding the global max cell
     occupancy. The pair math is a nested dynamic loop: outer over b-chunks
     (partner capacity rows), inner over a-chunks (self capacity rows), each
@@ -129,11 +129,12 @@ def _newton_kernel3(
     (42 arrays x <= cap rows across all b-chunks)."""
     if with_energy:
         (mo_ref, xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
-         fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref, e_ref, re_ref) = refs
+         fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref,
+         e_ref, re_ref, w_ref, rw_ref) = refs
     else:
         (mo_ref, xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
          fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref) = refs
-        e_ref = re_ref = None
+        e_ref = re_ref = w_ref = rw_ref = None
 
     lanes = xs_ref.shape[2]
     if row_wrap:
@@ -179,6 +180,8 @@ def _newton_kernel3(
     if with_energy:
         e_ref[0] = zero_cp
         re_ref[0] = zero_cp
+        w_ref[0] = zero_cp
+        rw_ref[0] = zero_cp
 
     def b_body(bj, _):
         b0 = pl.multiple_of(bj * cb, cb)
@@ -208,7 +211,7 @@ def _newton_kernel3(
         # 1.46 for the round-2 kernel (672 small sliced RMWs/call); this form
         # keeps ~(nb*8 + na*nb*4) sliced ops.
         zb = jnp.zeros((cb, lanes), jnp.float32)
-        acc0 = (zb,) * 8 if with_energy else (zb,) * 6
+        acc0 = (zb,) * 10 if with_energy else (zb,) * 6
 
         def a_body(ci, acc):
             a0 = pl.multiple_of(ci * ca, ca)
@@ -216,12 +219,13 @@ def _newton_kernel3(
             y_i = rep_a(ys_ref[0, pl.ds(a0, ca)])
             z_i = rep_a(zs_ref[0, pl.ds(a0, ca)])
             if with_energy:
-                sx, sy, sz, nx, ny, nz, se, ne = acc
+                sx, sy, sz, nx, ny, nz, se, ne, sw, nw = acc
             else:
                 sx, sy, sz, nx, ny, nz = acc
-                se = ne = None
+                se = ne = sw = nw = None
             fa_x = fa_y = fa_z = jnp.zeros((ca, lanes), jnp.float32)
             ea = jnp.zeros((ca, lanes), jnp.float32) if with_energy else None
+            wa = jnp.zeros((ca, lanes), jnp.float32) if with_energy else None
 
             for kind, px, py, pz, dy, dz in blocks:
                 dx = x_i - rep_b(px)
@@ -262,12 +266,21 @@ def _newton_kernel3(
                     ).reshape(sh3)
                     ea = ea + jnp.sum(ebk, axis=1)
                     ebs = jnp.sum(ebk, axis=0)
+                    # pair virial r.f = 24*eps*(2*s12 - s6) (pressure)
+                    wbk = jnp.where(valid, (2.0 * s12 - s6), 0.0).reshape(
+                        sh3
+                    ) * (fscale * sigma2)
+                    wa = wa + jnp.sum(wbk, axis=1)
+                    wbs = jnp.sum(wbk, axis=0)
                     if kind == "self":
                         se = se + ebs
+                        sw = sw + wbs
                     elif kind == "same":
                         se = se + unshift(ebs, dy, dz)
+                        sw = sw + unshift(wbs, dy, dz)
                     else:
                         ne = ne + unshift(ebs, dy, dz)
+                        nw = nw + unshift(wbs, dy, dz)
 
             # this chunk's a-side rows are disjoint: accumulate at [a0, a0+ca)
             fx_ref[0, pl.ds(a0, ca)] = fx_ref[0, pl.ds(a0, ca)] + fa_x
@@ -275,7 +288,8 @@ def _newton_kernel3(
             fz_ref[0, pl.ds(a0, ca)] = fz_ref[0, pl.ds(a0, ca)] + fa_z
             if with_energy:
                 e_ref[0, pl.ds(a0, ca)] = e_ref[0, pl.ds(a0, ca)] + ea
-                return (sx, sy, sz, nx, ny, nz, se, ne)
+                w_ref[0, pl.ds(a0, ca)] = w_ref[0, pl.ds(a0, ca)] + wa
+                return (sx, sy, sz, nx, ny, nz, se, ne, sw, nw)
             return (sx, sy, sz, nx, ny, nz)
 
         acc = jax.lax.fori_loop(0, na_dyn, a_body, acc0)
@@ -291,6 +305,8 @@ def _newton_kernel3(
         if with_energy:
             e_ref[bsl] = e_ref[bsl] + acc[6]
             re_ref[bsl] = re_ref[bsl] + acc[7]
+            w_ref[bsl] = w_ref[bsl] + acc[8]
+            rw_ref[bsl] = rw_ref[bsl] + acc[9]
         return 0
 
     jax.lax.fori_loop(0, nb_dyn, b_body, 0)
@@ -302,6 +318,8 @@ def _newton_kernel3(
     if with_energy:
         e_ref[0] = jnp.where(live, e_ref[0], zero_cp)
         re_ref[0] = jnp.where(live, re_ref[0], zero_cp)
+        w_ref[0] = jnp.where(live, w_ref[0], zero_cp)
+        rw_ref[0] = jnp.where(live, rw_ref[0], zero_cp)
 
 
 def make_grid_force_kernel3(
@@ -315,7 +333,7 @@ def make_grid_force_kernel3(
     n_rows: Optional[int] = None,
 ):
     """3D grid-level entry point: ``(xg, yg, zg) -> (fx, fy, fz)`` (or
-    ``(..., e)``) on the packed (ncx, C, P) layout with x-sentinels at empty
+    ``(..., e, w)``) on the packed (ncx, C, P) layout with x-sentinels at empty
     slots. Forces are reaction-folded totals. See the module docstring;
     2D counterpart: cell_pallas.make_grid_force_kernel.
 
@@ -328,7 +346,7 @@ def make_grid_force_kernel3(
     The sharded 3D engine passes its per-device row count and uses the
     attached ``.raw(xs, xn, ys, yn, zs, zn)``, supplying halo-built
     neighbor-row arrays itself (+box x-adjustment on the seam device);
-    ``.raw`` returns ``(fx, fy, fz, rfx, rfy, rfz[, e, re])`` with reaction
+    ``.raw`` returns ``(fx, fy, fz, rfx, rfy, rfz[, e, re, w, rw])`` with reaction
     rows UNSHIFTED (row i holds the reaction destined for row i+1) — the
     same contract as cell_pallas.make_grid_force_kernel's ``.raw``.
     """
@@ -384,7 +402,7 @@ def make_grid_force_kernel3(
         a_chunk=a_chunk,
         b_chunk=b_chunk,
     )
-    n_out = 8 if with_energy else 6
+    n_out = 10 if with_energy else 6
 
     def block(index_map):
         return pl.BlockSpec((1, cap, lanes), index_map, memory_space=pltpu.VMEM)
@@ -409,7 +427,7 @@ def make_grid_force_kernel3(
         n_blk = next_blk if shifted else self_blk
         out_specs = [self_blk] * 3 + [n_blk] * 3
         if with_energy:
-            out_specs += [self_blk, n_blk]
+            out_specs += [self_blk, n_blk, self_blk, n_blk]
         return pl.pallas_call(
             kernel,
             grid=(rows,),
@@ -438,7 +456,7 @@ def make_grid_force_kernel3(
         fy = out[1] + out[4]
         fz = out[2] + out[5]
         if with_energy:
-            return fx, fy, fz, out[6] + out[7]
+            return fx, fy, fz, out[6] + out[7], out[8] + out[9]
         return fx, fy, fz
 
     raw_call = build(row_wrap=False, shifted=False)

@@ -32,7 +32,7 @@ workload.py:50-62) — cross-checked against the dense oracle in
 tests/test_grid_md.py.
 
 Interface (``make_grid_force_kernel_packed``): ``(xg, yg) -> (fx, fy)``
-totals (or ``(fx, fy, e)``) on the packed (G, C, P) layout.
+totals (or ``(fx, fy, e, w)``) on the packed (G, C, P) layout.
 """
 
 from __future__ import annotations
@@ -122,12 +122,13 @@ def _packed_kernel(
     with_energy,
 ):
     """Packed Newton cell kernel. Ref order:
-    (xs, xn, ys, yn) -> (fx, fy, rfx, rfy[, e, re])."""
+    (xs, xn, ys, yn) -> (fx, fy, rfx, rfy[, e, re, w, rw])."""
     if with_energy:
-        xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref, e_ref, re_ref = refs
+        (xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref,
+         e_ref, re_ref, w_ref, rw_ref) = refs
     else:
         xs_ref, xn_ref, ys_ref, yn_ref, fx_ref, fy_ref, rfx_ref, rfy_ref = refs
-        e_ref = re_ref = None
+        e_ref = re_ref = w_ref = rw_ref = None
 
     x_self = xs_ref[0]  # (C, P)
     y_self = ys_ref[0]
@@ -177,6 +178,11 @@ def _packed_kernel(
         if with_energy:
             eb = jnp.where(valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0).reshape(sh3)
             out += [jnp.sum(eb, axis=1), jnp.sum(eb, axis=0)]
+            # pair virial r.f = 24*eps*(2*s12 - s6) (pressure observable)
+            wb = jnp.where(valid, (2.0 * s12 - s6), 0.0).reshape(sh3) * (
+                fscale * sigma2
+            )
+            out += [jnp.sum(wb, axis=1), jnp.sum(wb, axis=0)]
         return out
 
     # (0,0): same cell, each pair counted once (a < b), reaction in-block
@@ -185,6 +191,7 @@ def _packed_kernel(
     fy_acc = out[1] - out[3]
     if with_energy:
         e_acc = out[4] + out[5]
+        w_acc = out[6] + out[7]
 
     # (0,+1): next column, same physical row; reaction shifted back in-plane
     out = pair(_shift_col(x_self, 1, ncy), _shift_col(y_self, 1, ncy, box))
@@ -192,12 +199,13 @@ def _packed_kernel(
     fy_acc += out[1] - _shift_col(out[3], -1, ncy)
     if with_energy:
         e_acc += out[4] + _shift_col(out[5], -1, ncy)
+        w_acc += out[6] + _shift_col(out[7], -1, ncy)
 
     # (+1, dy): next physical row — partner plane assembled from the self
     # block (sub-rows 0..R-2) and the next block's first sub-row.
     px_row = _next_row_plane(x_self, x_next, ncy, rpb)
     py_row = _next_row_plane(y_self, y_next, ncy, rpb)
-    rfx_acc = rfy_acc = re_acc = None
+    rfx_acc = rfy_acc = re_acc = rw_acc = None
     for dy in (-1, 0, 1):
         out = pair(_shift_col(px_row, dy, ncy), _shift_col(py_row, dy, ncy, box))
         fx_acc += out[0]
@@ -216,6 +224,10 @@ def _packed_kernel(
             se, ne = _split_reaction(_shift_col(out[5], -dy, ncy), ncy, rpb)
             e_acc += se
             re_acc = ne if re_acc is None else re_acc + ne
+            w_acc += out[6]
+            sw, nw = _split_reaction(_shift_col(out[7], -dy, ncy), ncy, rpb)
+            w_acc += sw
+            rw_acc = nw if rw_acc is None else rw_acc + nw
 
     # zero the padding lanes (rolls duplicate seam values into them)
     live = jax.lax.broadcasted_iota(jnp.int32, fx_acc.shape, 1) < rpb * ncy
@@ -227,6 +239,8 @@ def _packed_kernel(
     if with_energy:
         e_ref[0] = jnp.where(live, e_acc, zero)
         re_ref[0] = jnp.where(live, re_acc, zero)
+        w_ref[0] = jnp.where(live, w_acc, zero)
+        rw_ref[0] = jnp.where(live, rw_acc, zero)
 
 
 def make_grid_force_kernel_packed(
@@ -238,7 +252,7 @@ def make_grid_force_kernel_packed(
     with_energy: bool = False,
 ):
     """Packed-layout grid entry point: ``(xg, yg) -> (fx, fy)`` (or
-    ``(fx, fy, e)``) where the arrays have the packed (G, C, P) layout with
+    ``(fx, fy, e, w)``) where the arrays have the packed (G, C, P) layout with
     x-sentinels at empty slots (grid_md.GridMD with rows_per_block > 1).
     Forces/energies are reaction-folded totals; base-layout counterpart:
     cell_pallas.make_grid_force_kernel."""
@@ -270,7 +284,7 @@ def make_grid_force_kernel_packed(
         n_blocks=n_blocks,
         with_energy=with_energy,
     )
-    n_out = 6 if with_energy else 4
+    n_out = 8 if with_energy else 4
 
     def block(index_map):
         return pl.BlockSpec((1, cap, lanes), index_map, memory_space=pltpu.VMEM)
@@ -287,7 +301,7 @@ def make_grid_force_kernel_packed(
     kernel = functools.partial(_packed_kernel, **params)
     out_specs = [self_blk, self_blk, next_blk, next_blk]
     if with_energy:
-        out_specs += [self_blk, next_blk]
+        out_specs += [self_blk, next_blk, self_blk, next_blk]
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -306,7 +320,7 @@ def make_grid_force_kernel_packed(
         fx = out[0] + out[2]
         fy = out[1] + out[3]
         if with_energy:
-            return fx, fy, out[4] + out[5]
+            return fx, fy, out[4] + out[5], out[6] + out[7]
         return fx, fy
 
     return grid_force

@@ -739,8 +739,24 @@ class GridMD:
         """Computed on demand (one energy-kernel pass) — the hot loop never
         does energy math. Each pair's (shifted) LJ energy is counted on both
         partners, hence the 0.5."""
-        _, _, e = self.energy_kernel(s.xg, s.yg)
+        _, _, e, _ = self.energy_kernel(s.xg, s.yg)
         return 0.5 * jnp.sum(e)
+
+    def virial(self, s: GridMDState) -> jax.Array:
+        """Pair virial ``W = sum_pairs r . f = sum_pairs 24*eps*(2(s/r)^12 -
+        (s/r)^6)``, from the same sampling-only kernel pass as the energy
+        (each pair counted on both partners, hence the 0.5). Feeds
+        :meth:`pressure`; the reference computes no pressure at all."""
+        _, _, _, w = self.energy_kernel(s.xg, s.yg)
+        return 0.5 * jnp.sum(w)
+
+    def pressure(self, s: GridMDState) -> jax.Array:
+        """Instantaneous virial pressure ``P = (2*KE + W) / (d * V)``
+        (d = 2, V = box^2). Average over production samples for the
+        thermodynamic value."""
+        return (2.0 * self.kinetic_energy(s) + self.virial(s)) / (
+            2.0 * self.box**2
+        )
 
     def positions(self, s: GridMDState) -> jax.Array:
         """(N, 2) positions in particle order, wrapped into [0, box) (one

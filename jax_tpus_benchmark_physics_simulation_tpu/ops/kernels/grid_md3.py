@@ -543,8 +543,19 @@ class GridMD3:
         return 0.5 * jnp.sum((s.vxg**2 + s.vyg**2 + s.vzg**2) * s.occ)
 
     def potential_energy(self, s: GridMD3State) -> jax.Array:
-        _, _, _, e = self.energy_kernel(s.xg, s.yg, s.zg, s.max_occ)
+        _, _, _, e, _ = self.energy_kernel(s.xg, s.yg, s.zg, s.max_occ)
         return 0.5 * jnp.sum(e)
+
+    def virial(self, s: GridMD3State) -> jax.Array:
+        """Pair virial (see grid_md.GridMD.virial)."""
+        _, _, _, _, w = self.energy_kernel(s.xg, s.yg, s.zg, s.max_occ)
+        return 0.5 * jnp.sum(w)
+
+    def pressure(self, s: GridMD3State) -> jax.Array:
+        """Instantaneous virial pressure ``P = (2*KE + W) / (3 * V)``."""
+        return (2.0 * self.kinetic_energy(s) + self.virial(s)) / (
+            3.0 * self.box**3
+        )
 
     def positions(self, s: GridMD3State) -> jax.Array:
         """(N, 3) positions in particle order, wrapped into [0, box)."""

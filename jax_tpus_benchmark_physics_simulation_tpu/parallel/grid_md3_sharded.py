@@ -204,3 +204,31 @@ class ShardedGridMD3(GridMD3):
             out_specs=P(),
             check_vma=False,
         )(s.xg, s.yg, s.zg, s.max_occ)
+
+    def virial(self, s: GridMD3State) -> jax.Array:
+        """Sharded pair virial (psum-reduced; see grid_md.GridMD.virial)."""
+        arr_spec = P(self.axis_name)
+
+        def local_w(xg, yg, zg, max_occ):
+            out = self._local_energy(
+                xg, self._with_halo(xg, seam_delta=self.box),
+                yg, self._with_halo(yg),
+                zg, self._with_halo(zg),
+                max_occ=max_occ,
+            )
+            w = out[8] + self._shift_reaction(out[9])
+            return lax.psum(0.5 * jnp.sum(w), self.axis_name)
+
+        return jax.shard_map(
+            local_w,
+            mesh=self.mesh,
+            in_specs=(arr_spec,) * 3 + (P(),),
+            out_specs=P(),
+            check_vma=False,
+        )(s.xg, s.yg, s.zg, s.max_occ)
+
+    def pressure(self, s: GridMD3State) -> jax.Array:
+        """Instantaneous virial pressure (see grid_md3.GridMD3.pressure)."""
+        return (2.0 * self.kinetic_energy(s) + self.virial(s)) / (
+            3.0 * self.box**3
+        )

@@ -222,3 +222,28 @@ class ShardedGridMD(GridMD):
             out_specs=P(),
             check_vma=False,
         )(s.xg, s.yg)
+
+    def virial(self, s: GridMDState) -> jax.Array:
+        """Sharded pair virial (psum-reduced; see grid_md.GridMD.virial)."""
+        arr_spec = P(self.axis_name)
+
+        def local_w(xg, yg):
+            out = self._local_energy(
+                xg, self._with_halo(xg, seam_delta=self.box), yg, self._with_halo(yg)
+            )
+            w = out[6] + self._shift_reaction(out[7])
+            return lax.psum(0.5 * jnp.sum(w), self.axis_name)
+
+        return jax.shard_map(
+            local_w,
+            mesh=self.mesh,
+            in_specs=(arr_spec, arr_spec),
+            out_specs=P(),
+            check_vma=False,
+        )(s.xg, s.yg)
+
+    def pressure(self, s: GridMDState) -> jax.Array:
+        """Instantaneous virial pressure (see grid_md.GridMD.pressure)."""
+        return (2.0 * self.kinetic_energy(s) + self.virial(s)) / (
+            2.0 * self.box**2
+        )
