@@ -320,9 +320,15 @@ def cmd_md(args) -> int:
     else:
         drift_s = "n/a (singular start: uniform init allows particle overlaps; use --init lattice)"
     p_s = f"; P* = {res.pressure:.4f}" if math.isfinite(res.pressure) else ""
+    _, d_coef, d_resid = res.transport()
+    d_s = (
+        f"; D* = {d_coef:.4e} (fit rms {d_resid:.1e})"
+        if math.isfinite(d_coef)
+        else ""
+    )
     console.log(
         f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s; "
-        f"energy drift: {drift_s}{p_s}"
+        f"energy drift: {drift_s}{p_s}{d_s}"
     )
     if res.overflow:
         console.log(
@@ -347,6 +353,7 @@ def cmd_md(args) -> int:
             "particle_steps_per_sec": res.particle_steps_per_sec,
             "energy_drift": drift,
             "pressure": res.pressure,
+            "diffusion_coefficient": d_coef,
             "overflow": res.overflow,
             "rdf_subset": res.rdf_subset,
         },

@@ -395,6 +395,9 @@ class MDResult:
     # Instantaneous virial pressure of the final state (grid engine only;
     # NaN elsewhere). The reference computes no pressure at all.
     pressure: float = float("nan")
+    # geometry/timing of the production samples (for transport analysis)
+    box: float = 0.0
+    dt_sample: float = 0.0
 
     @property
     def energy_drift(self) -> float:
@@ -404,6 +407,24 @@ class MDResult:
             return float("nan")
         e0 = e[0]
         return float(jnp.max(jnp.abs(e - e0) / jnp.abs(e0)))
+
+    def transport(self):
+        """``(msd_curve, D, fit_residual_rms)`` from the production samples:
+        sliding-origin MSD + Einstein-relation self-diffusion coefficient
+        (observables/msd.py). Needs >= 4 samples; the reference computes no
+        transport coefficients at all."""
+        from jax_tpus_benchmark_physics_simulation_tpu.ops.observables.msd import (
+            diffusion_coefficient,
+            mean_squared_displacement,
+        )
+
+        if self.r_history.shape[0] < 4 or not self.box:
+            return None, float("nan"), float("nan")
+        msd = mean_squared_displacement(self.r_history, self.box)
+        d_coef, resid = diffusion_coefficient(
+            msd, self.dt_sample, self.r_history.shape[-1]
+        )
+        return msd, float(d_coef), float(resid)
 
 
 def run(
@@ -507,5 +528,7 @@ def run(
         overflow=overflow,
         rdf_subset=_RDF_MAX_PARTICLES if cfg.n > _RDF_MAX_PARTICLES else 0,
         pressure=pressure,
+        box=cfg.box_size,
+        dt_sample=cfg.dt * cfg.sample_every,
     )
     return res

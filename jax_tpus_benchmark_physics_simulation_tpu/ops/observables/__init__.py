@@ -10,6 +10,11 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.observables.lyapunov import (
     lyapunov_tangent,
     lyapunov_two_trajectory,
 )
+from jax_tpus_benchmark_physics_simulation_tpu.ops.observables.msd import (
+    diffusion_coefficient,
+    mean_squared_displacement,
+    unwrap_trajectory,
+)
 
 __all__ = [
     "kinetic_energy",
@@ -20,4 +25,7 @@ __all__ = [
     "gw_strain",
     "lyapunov_tangent",
     "lyapunov_two_trajectory",
+    "mean_squared_displacement",
+    "diffusion_coefficient",
+    "unwrap_trajectory",
 ]
