@@ -16,6 +16,7 @@ JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -152,7 +153,55 @@ def bench_reference_method(n, steps=20, repeats=3):
     return n * steps / best, best / steps
 
 
+def wait_for_backend(max_wait_s: float) -> bool:
+    """Bounded-wait backend init. A killed-mid-compile client can wedge the
+    remote TPU tunnel for hours (CLAUDE.md); a bare ``jax.devices()`` then
+    hangs FOREVER, which turns a recoverable outage into a silent driver
+    stall. Probe device init in a daemon thread against a deadline instead;
+    the thread may never return — the caller must exit via os._exit."""
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        try:
+            info["devices"] = jax.devices()
+        except Exception as exc:  # init failure is as terminal as a hang
+            info["error"] = repr(exc)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        if done.wait(timeout=30.0):
+            if "devices" in info:
+                return True
+            log(f"backend init failed: {info.get('error')}")
+            return False
+        log(f"waiting for backend init... ({deadline - time.time():.0f}s left)")
+    return False
+
+
 def main():
+    max_wait = float(os.environ.get("BENCH_TPU_WAIT_S", "900"))
+    if not wait_for_backend(max_wait):
+        # one honest JSON line, nonzero exit: the backend is unreachable
+        # (wedged tunnel / dead worker), NOT a performance result
+        print(
+            json.dumps(
+                {
+                    "metric": "lj_md_particle_steps_per_sec_n100k",
+                    "value": 0,
+                    "unit": "particle-steps/s",
+                    "vs_baseline": 0,
+                    "error": f"backend unreachable after {max_wait:.0f}s "
+                    "(tunnel wedged or worker dead)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 

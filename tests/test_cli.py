@@ -49,6 +49,37 @@ def test_md(tmp_path):
     assert os.path.getsize(tmp_path / "g.png") > 0
 
 
+def test_md_nvt_langevin(tmp_path):
+    """--thermostat langevin end-to-end: grid engine (cutoff forces the
+    dispatch), NVT summary line, manifest carries pressure + D."""
+    rc = run_in(
+        tmp_path,
+        [
+            "md", "--N", "400", "--cutoff", "2.5", "--force-impl", "grid",
+            "--eq_steps", "60", "--prod_steps", "120", "--sample_every", "20",
+            "--init", "lattice", "--thermostat", "langevin", "--gamma", "2.0",
+            "--output", str(tmp_path / "g.png"),
+            "--manifest", str(tmp_path / "m.json"),
+        ],
+    )
+    assert rc == 0
+    import json
+
+    m = json.loads((tmp_path / "m.json").read_text())
+    assert m["config"]["thermostat"] == "langevin"
+    assert np.isfinite(m["results"]["pressure"])
+
+
+def test_md_thermostat_rejected_on_dense(tmp_path):
+    with pytest.raises(ValueError, match="grid"):
+        run_in(
+            tmp_path,
+            ["md", "--N", "36", "--eq_steps", "10", "--prod_steps", "20",
+             "--sample_every", "10", "--thermostat", "langevin",
+             "--force-impl", "dense_xla"],
+        )
+
+
 def test_nbody(tmp_path):
     rc = run_in(
         tmp_path,
