@@ -86,6 +86,8 @@ def _add_md(sub):
     p.add_argument("--sample_every", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", type=str, default="g_r_plot.png")
+    p.add_argument("--msd-output", type=str, default=None,
+                   help="also save the MSD/diffusion plot (no reference analog)")
     p.add_argument("--cutoff", type=float, default=None)
     p.add_argument("--force-impl", type=str, default="auto",
                    choices=["auto", "dense_xla", "dense_pallas", "neighbor", "cell", "grid"])
@@ -344,6 +346,21 @@ def cmd_md(args) -> int:
     out = plot_rdf(res.rdf_r, res.rdf_g, cfg.n, cfg.rho, cfg.kt, args.output,
                    show=getattr(args, "show", False))
     console.log(f"Plot saved: {out}")
+    msd_out = getattr(args, "msd_output", None)
+    if msd_out:
+        msd_curve, _, _ = res.transport()
+        if msd_curve is not None:
+            from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (
+                plot_msd,
+            )
+
+            console.log(
+                "Plot saved: "
+                + plot_msd(msd_curve, res.dt_sample, d_coef, msd_out,
+                           show=getattr(args, "show", False))
+            )
+        else:
+            console.log("MSD plot skipped: needs >= 4 production samples")
     _write_manifest(
         args, "md", cfg,
         {

@@ -108,6 +108,31 @@ def plot_rdf(r, g, n, rho, kt, output: str = "g_r_plot.png", show: bool = False)
     return output
 
 
+def plot_msd(
+    msd, dt_sample: float, d_coef: float, output: str = "msd_plot.png",
+    show: bool = False,
+) -> str:
+    """MSD curve + Einstein-relation fit line (no reference analog — the
+    reference computes no transport observables)."""
+    msd = np.asarray(msd)
+    t = np.arange(msd.shape[0]) * dt_sample
+    fig = plt.figure(figsize=(10, 6))
+    plt.plot(t, msd, marker="o", markersize=4, linestyle="-", label="MSD")
+    k0 = msd.shape[0] // 2
+    if np.isfinite(d_coef) and msd.shape[0] >= 4:
+        # the fit line is reconstructed from the same window the D fit used
+        slope, icept = np.polyfit(t[k0:], msd[k0:], 1)
+        plt.plot(t[k0:], icept + slope * t[k0:], "--",
+                 label=f"fit: D = {d_coef:.3e}")
+    plt.title("Mean-squared displacement (sliding-origin)")
+    plt.xlabel("lag time")
+    plt.ylabel(r"$\langle |\Delta r|^2 \rangle$")
+    plt.grid(True, linestyle="--", alpha=0.6)
+    plt.legend()
+    _finish(fig, output, show, dpi=300, bbox_inches="tight")
+    return output
+
+
 def plot_gw_strain(t, h_plus, output: str = "n_body_gw_plot.png") -> str:
     """GW waveform figure (reference nbody...:212-218)."""
     fig, ax = plt.subplots(figsize=(10, 4))
