@@ -695,17 +695,19 @@ class GridMD:
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized TOGETHER: the highest rebuild gate
         whose remaining window budget still fits >= 1 step at the 8-sigma
-        tail speed. Gate 0.45 is the measured optimum at N=100k (280M vs
-        234M psps at the conservative 0.25 — the ~4.5 ms migration scatter
-        amortizes over a ~2x longer rebuild interval, and the shorter
-        windows cost almost nothing since the per-step window overhead is
-        flat); at smaller N the rebuild is cheap relative to the window so
-        the optimum moves down (N=16k measured: 0.35/k=7 -> 271M vs
+        tail speed. Gate 0.40 (full window) is the round-3 measured
+        steady-state optimum at large N now that the Pallas migrate kernel
+        made rebuilds ~3.6x cheaper (`results/gate_tuning_probe.py`,
+        equilibrated kT=1 states: N=100k 0.40/k=4 -> 214M vs 0.45/k=2 ->
+        208M psps; N=1M 0.40/k=4 -> 183M vs 0.45/k=2 -> 179M — the cheap
+        rebuild shifts the optimum from max-gate toward longer windows).
+        At smaller N the rebuild is cheap relative to the window so the
+        optimum moves lower still (N=16k measured: 0.35/k=7 -> 271M vs
         0.45/k=2 -> 245M). Falls back toward 0.25 for large dt where the
         margin cannot fit one step. Pass BOTH values to
         :meth:`make_chunk_step` — mixing a high gate with a window sized
         for a lower one would erode the violation margin."""
-        prefer = 0.45 if self.n >= 50_000 else 0.35
+        prefer = 0.40 if self.n >= 50_000 else 0.35
         for gate in (0.45, 0.4, 0.35, 0.3, 0.25):
             if gate > prefer:
                 continue

@@ -261,7 +261,7 @@ class TestAutoChunkParams:
     def test_size_aware_gate(self):
         k_big, gate_big = self._md(n=100_000).auto_chunk_params(kt=1.0)
         k_small, gate_small = self._md(n=16384).auto_chunk_params(kt=1.0)
-        assert gate_big == 0.45 and k_big == 2    # measured optimum at N=100k
+        assert gate_big == 0.40 and k_big == 4    # round-3 measured optimum at N=100k
         assert gate_small == 0.35 and k_small == 7  # measured optimum at N=16k
 
     def test_large_dt_fallback(self):
