@@ -334,12 +334,12 @@ def benchmark_bandwidth(ctx: BenchContext, cores: int):
 
 
 ALL_BENCHMARKS = [
-    benchmark_2d,
-    benchmark_3d,
-    benchmark_conv,
-    benchmark_fft_2d,
-    benchmark_fft_3d,
-    benchmark_bandwidth,
+    ("2D", benchmark_2d),
+    ("3D", benchmark_3d),
+    ("Conv", benchmark_conv),
+    ("2D_FFT", benchmark_fft_2d),
+    ("3D_FFT", benchmark_fft_3d),
+    ("Bandwidth", benchmark_bandwidth),
 ]
 
 
@@ -365,11 +365,22 @@ def run_sweep(cfg: BenchConfig, log: Callable[[str], None] = print) -> List[dict
     available = jax.device_count()
     max_cores = cfg.max_cores if cfg.max_cores > 0 else available
     max_cores = min(max_cores, available)
+    benches = ALL_BENCHMARKS
+    if cfg.ops is not None:
+        wanted = {o.lower() for o in cfg.ops}
+        known = {name.lower() for name, _ in ALL_BENCHMARKS}
+        unknown = wanted - known
+        if unknown:
+            raise ValueError(
+                f"unknown ops {sorted(unknown)}; known: "
+                f"{[name for name, _ in ALL_BENCHMARKS]}"
+            )
+        benches = [(n, b) for n, b in ALL_BENCHMARKS if n.lower() in wanted]
     results: List[dict] = []
     try:
         for cores in compute_core_candidates(max_cores, available):
             log(f"[bench] === {cores} device(s) ===")
-            for bench in ALL_BENCHMARKS:
+            for _name, bench in benches:
                 res = bench(ctx, cores)
                 if res:
                     results.append(res)

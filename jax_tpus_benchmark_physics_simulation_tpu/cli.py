@@ -64,6 +64,12 @@ def _add_bench(sub):
     p.add_argument("--precision", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--max_cores", type=int, default=0)
     p.add_argument("--csv", type=str, default=None)
+    p.add_argument("--csv-append", action="store_true",
+                   help="append to --csv (no header rewrite) — for split "
+                   "sweeps that isolate worker-crashing ops per process")
+    p.add_argument("--ops", type=str, default=None,
+                   help="comma list of ops to run (2D,3D,Conv,2D_FFT,"
+                   "3D_FFT,Bandwidth); default all")
     p.add_argument("--plot", type=str, default="tpu_benchmark_results.png")
     p.add_argument("--no-plot", action="store_true")
     p.add_argument("--show", action="store_true",
@@ -228,6 +234,9 @@ def cmd_bench(args) -> int:
         conv_cout=max(1, args.conv_cout),
         precision=args.precision,
         max_cores=args.max_cores,
+        ops=tuple(s.strip() for s in args.ops.split(",") if s.strip())
+        if args.ops
+        else None,
     )
     results = run_sweep(cfg, log=console.log)
     if not results:
@@ -239,7 +248,7 @@ def cmd_bench(args) -> int:
         ["test", "cores", "tflops", "xla_tflops", "bandwidth_gbs", "xla_gbs", "avg_ms"],
     )
     if args.csv:
-        write_csv(results, args.csv)
+        write_csv(results, args.csv, append=args.csv_append)
         console.log(f"CSV written: {args.csv}")
     if not args.no_plot and args.plot:
         from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -150,6 +150,11 @@ class BenchConfig:
     conv_cout: int = 64
     precision: str = "float32"  # float32 | bfloat16
     max_cores: int = 0  # 0 = auto up to available
+    # None = all ops; else case-insensitive op names to run (e.g.
+    # ("2D", "Bandwidth")). Lets a sweep isolate worker-crashing ops in
+    # their own process (3D_FFT at depth 6 x 4096^2 reproducibly kills the
+    # remote v5e worker and poisons every op after it in-process).
+    ops: Optional[Tuple[str, ...]] = None
     csv: Optional[str] = None
     plot: Optional[str] = "tpu_benchmark_results.png"
 

@@ -101,6 +101,8 @@ class GridMD3:
         self.sentinel = SENTINEL_FACTOR * float(grid_fn.box)
         self.grid_shape = (self.cps, self.cap, self.lanes)
         self.size = self.cps * self.cap * self.lanes
+        self._interpret = interpret
+        self._migrate_cache = {}
         self.force_kernel = make_grid_force_kernel3(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret
         )
@@ -211,9 +213,12 @@ class GridMD3:
                 v = jnp.where(col // ncz == 0, wrap, main)
         return v
 
-    def _rebuild_migrate(self, s: GridMD3State) -> GridMD3State:
-        """3D migration re-binning: between rebuilds every particle moved
-        < skin/2 < cell size, so its new cell is one of the 27 neighbors.
+    def _migration_dest3(self, s: GridMD3State):
+        """Allocation phase of the 3D migration rebuild: wrapped
+        coordinates, per-slot flat destination index (``self.size`` =
+        dropped), the per-slot source code ``dcode * cap + b`` consumed by
+        the migrate kernel (migrate_pallas3), and the overflow flag.
+
         Runs entirely in the PACKED (ncx, C, P) layout: y/z cell rolls are
         lane-axis rolls with periodic-seam selects (_shift_lane_plane — the
         same scheme the force kernel uses for partner planes), x rolls are
@@ -221,7 +226,7 @@ class GridMD3:
         paid minor-dims-(17,17) tiling (~13% lane utilization) on every one
         of the 27 direction passes plus a relayout per field: measured
         8.5 ms -> this form ~4-5 ms per rebuild at 3D N=100k cap 48.
-        Otherwise identical to grid_md.GridMD._rebuild_migrate (see its
+        Otherwise identical to grid_md.GridMD._migration_dest (see its
         docstring for the allocation argument)."""
         cps, cap, box, lanes = self.cps, self.cap, self.box, self.lanes
         shp = self.grid_shape  # (ncx, C, P)
@@ -282,12 +287,90 @@ class GridMD3:
         tlane = tyc * cps + tzc
         dest = ((txc * cap + target_a) * lanes + tlane).astype(jnp.int32)
         dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
-        dest_flat = dest.reshape(-1)
+        slot_b = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        code = (((dxc + 1) * 3 + (dyc + 1)) * 3 + (dzc + 1)) * cap + slot_b
+        return xw, yw, zw, dest.reshape(-1), code.reshape(-1), overflow
 
-        # one inverse-index scatter + one row gather (grid_md.
-        # permute_rows_by_inverse: 23x faster than the (size, F) row scatter
-        # at 2.48M slots; pid rides along as f32, exact n < 2^24). Pad-lane
-        # rows carry dest=size and drop.
+    def _migrate_call(self, n_fields: int, fills):
+        """Cached migrate_pallas3 kernel for this grid (descriptor-free
+        dense permutation; see migrate_pallas3's module docstring)."""
+        key = (n_fields, tuple(fills))
+        cached = self._migrate_cache.get(key)
+        if cached is None:
+            from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.migrate_pallas3 import (
+                make_migrate_kernel3,
+            )
+
+            cached = make_migrate_kernel3(
+                self.cps, self.cap, n_fields, fills, interpret=self._interpret
+            )
+            self._migrate_cache[key] = cached
+        return cached
+
+    def _rebuild_migrate(self, s: GridMD3State) -> GridMD3State:
+        """3D migration re-binning: between rebuilds every particle moved
+        < skin/2 < cell size, so its new cell is one of the 27 neighbors.
+        Allocation via rolls + small-axis cumsums (_migration_dest3); the
+        slot permutation itself is the dense migrate_pallas3 kernel driven
+        by ONE single-column int scatter — the inverse-permute variant
+        (:meth:`_rebuild_migrate_rows`) is descriptor-bound at ~11 ms for
+        3D N=100k's 313k slots (results/md3_breakdown_probe.py); the dense
+        kernel does the same permutation as VPU compare/selects bounded by
+        the pre-rebuild ``max_occ``. Coordinates are wrapped back into
+        [0, box) here (the only place they ever are) and empty slots
+        re-filled with the sentinel."""
+        gs = self.grid_shape
+        xw, yw, zw, dest_flat, code_flat, overflow = self._migration_dest3(s)
+
+        assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
+        dtype = s.xg.dtype
+        code_grid = (
+            jnp.full((self.size + 1,), -1, jnp.int32)
+            .at[dest_flat]
+            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
+            .reshape(gs)
+        )
+        fields = [xw, yw, zw, s.vxg, s.vyg, s.vzg,
+                  s.fxg, s.fyg, s.fzg, s.pid.astype(dtype)]
+        fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
+        if s.crx is not None:
+            fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
+            fills += [0.0] * 6
+        out = self._migrate_call(len(fields), fills)(
+            s.max_occ, code_grid, *fields
+        )
+        occ_new = out[-1]
+
+        zeros = jnp.zeros(gs, dtype)
+        comp = (
+            dict(crx=out[10], cry=out[11], crz=out[12],
+                 cvx=out[13], cvy=out[14], cvz=out[15])
+            if s.crx is not None
+            else {}
+        )
+        return s.replace(
+            xg=out[0], yg=out[1], zg=out[2],
+            vxg=out[3], vyg=out[4], vzg=out[5],
+            fxg=out[6], fyg=out[7], fzg=out[8],
+            occ=occ_new,
+            pid=out[9].astype(jnp.int32),
+            dispx=zeros, dispy=zeros, dispz=zeros,
+            dmax2=jnp.zeros((), dtype),
+            overflow=overflow,
+            max_occ=self._max_occ(occ_new),
+            **comp,
+        )
+
+    def _rebuild_migrate_rows(self, s: GridMD3State) -> GridMD3State:
+        """Row-permutation variant of :meth:`_rebuild_migrate`: the same
+        allocation, applied with an inverse-index scatter + (size, F) row
+        gather (grid_md.permute_rows_by_inverse: 23x faster than the
+        (size, F) row scatter at 2.48M slots; pid rides along as f32, exact
+        n < 2^24). Slower on one chip (descriptor-bound at ~84M rows/s —
+        ~11 ms at 3D N=100k) but pure jnp: GSPMD can shard it, so
+        ShardedGridMD3 rebuilds with this (a pallas_call cannot be
+        auto-partitioned). Pad-lane rows carry dest=size and drop."""
+        xw, yw, zw, dest_flat, _code, overflow = self._migration_dest3(s)
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
         fields = [xw, yw, zw, s.vxg, s.vyg, s.vzg,

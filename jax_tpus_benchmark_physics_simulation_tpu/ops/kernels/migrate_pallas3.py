@@ -1,0 +1,174 @@
+"""Pallas migration-permute kernel (3D packed layout) — descriptor-free
+slot permutation for the 3D grid rebuild.
+
+3D counterpart of migrate_pallas.py (see its module docstring for the
+descriptor-wall arithmetic that motivates the design: every gather/scatter
+formulation is descriptor-bound at <= ~84M rows/s on v5e, so the
+inverse-permute rebuild costs ~11 ms at 3D N=100k's 313k slots — measured
+results/md3_breakdown_probe.py). This kernel realizes the permutation as
+dense VPU compare/selects against an int32 code grid
+
+    code[target cell t, slot a'] = dcode * cap + b   (-1 = empty)
+
+where ``dcode = ((dx+1)*3 + (dy+1))*3 + (dz+1)`` is the migration
+direction (27 neighbors in 3D) and ``b`` the source slot. The code grid is
+produced by ONE single-column int scatter; candidate source planes are
+assembled with the same packed-layout lane shifts as the 3D force kernel
+(cell_pallas3._shift_plane: lane = cy*ncz + cz) and the x axis rides the
+block axis (prev/self/next refs — one cell row per block, so no sub-row
+patching like 2D's rows_per_block).
+
+Two 3D-specific improvements over the 2D kernel:
+
+- The candidate loop over source slots is a ``fori_loop`` over 8-aligned
+  b-chunks bounded by the DYNAMIC pre-rebuild ``max_occ`` (SMEM scalar,
+  same contract as the force kernel): source slots past the occupancy
+  bound can never appear in the code grid, so at cap 48 / occupancy 28
+  only 32 of 48 candidate rows are visited. Chunks are dynamic slices on
+  a VMEM scratch ref (Mosaic lowers dynamic slicing on refs only, and
+  sublane starts must be provably 8-aligned — hence ``pl.multiple_of``).
+- The 27 x F shifted planes are written to scratch once per direction and
+  the inner work is exactly one compare + F sublane-broadcast selects per
+  candidate, accumulated in the fori carry (register-resident, one VMEM
+  write per field at the end).
+
+No reference analog: the reference rebuilds nothing (dense O(N^2) pair
+matrix, molecular_dynamics_jax_single-host_workload.py:50-62, dim=2 only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas import _round_up
+from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.cell_pallas3 import (
+    _shift_plane,
+)
+
+
+def _migrate_kernel3(*refs, cap, ncy, ncz, lanes, n_fields, fills):
+    """Ref order: (mo, code, f0_prev, f0_self, f0_next, f1_prev, ...) ->
+    (out0, ..., out{F-1}, occ), scratch: planes (F, cap, lanes)."""
+    mo_ref = refs[0]
+    code_ref = refs[1]
+    f_refs = refs[2 : 2 + 3 * n_fields]
+    out_refs = refs[2 + 3 * n_fields : 2 + 4 * n_fields]
+    occ_ref = refs[2 + 4 * n_fields]
+    planes_ref = refs[2 + 4 * n_fields + 1]
+
+    code = code_ref[0]  # (C, P) int32
+    accs = tuple(jnp.full(code.shape, f, jnp.float32) for f in fills)
+    # source slots are compact, so candidates past max_occ never match;
+    # visit ceil(mo/8) 8-aligned chunks (sublane-sliceable granularity)
+    nb_dyn = jnp.minimum((mo_ref[0] + 7) // 8, cap // 8)
+
+    for dx in (-1, 0, 1):
+        # target x-cell i reads source cell i - dx: +1 -> prev ref block
+        src_i = {1: 0, 0: 1, -1: 2}[dx]
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                for f in range(n_fields):
+                    planes_ref[f] = _shift_plane(
+                        f_refs[3 * f + src_i][0], -dy, -dz, ncy, ncz
+                    )
+                dbase = (((dx + 1) * 3 + (dy + 1)) * 3 + (dz + 1)) * cap
+
+                def b_body(j, acc, dbase=dbase):
+                    b0 = pl.multiple_of(j * 8, 8)
+                    chunks = [
+                        planes_ref[f, pl.ds(b0, 8), :] for f in range(n_fields)
+                    ]
+                    acc = list(acc)
+                    for bi in range(8):
+                        mask = code == dbase + b0 + bi
+                        for f in range(n_fields):
+                            # (1, P) slice select-broadcasts across sublanes
+                            acc[f] = jnp.where(
+                                mask, chunks[f][bi : bi + 1, :], acc[f]
+                            )
+                    return tuple(acc)
+
+                accs = jax.lax.fori_loop(0, nb_dyn, b_body, accs)
+
+    live = jax.lax.broadcasted_iota(jnp.int32, code.shape, 1) < ncy * ncz
+    filled = code >= 0
+    for f in range(n_fields):
+        base = jnp.full(code.shape, fills[f], jnp.float32)
+        out_refs[f][0] = jnp.where(live & filled, accs[f], base)
+    occ_ref[0] = jnp.where(live & filled, 1.0, 0.0).astype(jnp.float32)
+
+
+def make_migrate_kernel3(
+    cps: int,
+    cap: int,
+    n_fields: int,
+    fills: Sequence[float],
+    interpret: Optional[bool] = None,
+):
+    """Build ``migrate(max_occ, code_grid, *fields) -> (*permuted, occ)``.
+
+    ``max_occ``: scalar int32 — pre-rebuild occupancy bound (pass ``cap``
+    to disable clamping). ``code_grid``: (ncx, C, P) int32, -1 = empty
+    target slot, else ``dcode * cap + b`` (module docstring). ``fields``:
+    n_fields f32 arrays on the packed (ncx, C, P) layout. Empty and padding
+    slots of the outputs take ``fills[f]``; ``occ`` is 1.0 exactly where a
+    particle landed."""
+    assert len(fills) == n_fields
+    assert cap % 8 == 0, f"capacity {cap} must be 8-aligned (sublane chunks)"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lanes = _round_up(cps * cps, 128)
+
+    kernel = functools.partial(
+        _migrate_kernel3,
+        cap=cap,
+        ncy=cps,
+        ncz=cps,
+        lanes=lanes,
+        n_fields=n_fields,
+        fills=tuple(float(f) for f in fills),
+    )
+
+    def fblock(index_map):
+        return pl.BlockSpec((1, cap, lanes), index_map, memory_space=pltpu.VMEM)
+
+    prev_blk = fblock(lambda i: ((i - 1) % cps, 0, 0))
+    self_blk = fblock(lambda i: (i, 0, 0))
+    next_blk = fblock(lambda i: ((i + 1) % cps, 0, 0))
+    mo_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [mo_spec, self_blk] + [prev_blk, self_blk, next_blk] * n_fields
+    out_struct = jax.ShapeDtypeStruct((cps, cap, lanes), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=cps * 27 * cap * cap * lanes * (1 + n_fields),
+        bytes_accessed=(1 + 2 * n_fields) * cps * cap * lanes * 4,
+        transcendentals=0,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(cps,),
+        in_specs=in_specs,
+        out_specs=[self_blk] * (n_fields + 1),
+        out_shape=[out_struct] * (n_fields + 1),
+        scratch_shapes=[pltpu.VMEM((n_fields, cap, lanes), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )
+
+    def migrate(max_occ, code_grid, *fields):
+        assert len(fields) == n_fields
+        mo = jnp.asarray(max_occ, jnp.int32).reshape((1,))
+        args = [mo, code_grid]
+        for f in fields:
+            args += [f, f, f]
+        return call(*args)
+
+    return migrate

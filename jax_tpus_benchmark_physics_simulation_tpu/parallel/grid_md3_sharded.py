@@ -48,6 +48,11 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md3 import (
 class ShardedGridMD3(GridMD3):
     """GridMD3 with the x-row axis sharded over ``mesh`` (axis name 'x')."""
 
+    # the inverse-permute rebuild is pure jnp, so GSPMD can shard it; the
+    # single-chip default (dense migrate_pallas3 kernel) cannot be
+    # auto-partitioned (same split as 2D's ShardedGridMD)
+    _rebuild_migrate = GridMD3._rebuild_migrate_rows
+
     def __init__(
         self,
         grid_fn: CellGridFn,

@@ -34,6 +34,16 @@ def lattice(n, box, key, kt=1.0):
     return pos, vel
 
 
+_null = jax.jit(lambda x: x + 1.0)
+_ = float(_null(jnp.zeros(())))
+LAT = float("inf")
+for _ in range(5):
+    _t0 = time.perf_counter()
+    _ = float(_null(jnp.zeros(())))
+    LAT = min(LAT, time.perf_counter() - _t0)
+print(f"null-dispatch latency: {LAT * 1e3:.2f} ms (subtracted from every timing)")
+
+
 def timeit(fn, *args, reps=3, inner=1):
     c = jax.jit(fn)
     out = c(*args)
@@ -45,7 +55,7 @@ def timeit(fn, *args, reps=3, inner=1):
         out = c(*args)
         _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
         best = min(best, time.perf_counter() - t0)
-    return best / inner
+    return max(best - LAT, 1e-9) / inner
 
 
 def breakdown(md, s, label, n_inner, gate, N):
@@ -71,23 +81,34 @@ def breakdown(md, s, label, n_inner, gate, N):
     t_w = timeit(window, s, inner=W)
     print(f"window : {t_w * 1e3:7.3f} ms/step (over {W} fused steps)")
 
-    t_r = timeit(md._rebuild_migrate, s)
-    print(f"rebuild: {t_r * 1e3:7.3f} ms/rebuild "
-          f"(amortized {t_r / n_inner * 1e3:.3f} ms/step at the auto cadence)")
+    RB = 20  # chained so the 25-40 ms (and variable) dispatch latency amortizes
+
+    def rloop(st):
+        def body(i, st):
+            return md._rebuild_migrate(st)
+
+        return jax.lax.fori_loop(0, RB, body, st)
+
+    t_r = timeit(rloop, s, inner=RB)
+    print(f"rebuild: {t_r * 1e3:7.3f} ms/rebuild (chained x{RB}; "
+          f"amortized {t_r / n_inner * 1e3:.3f} ms/step at the auto cadence)")
 
     chunk = md.make_chunk_step(n_inner, gate)
+    NC = 40  # enough chained chunks that the variable tunnel latency is noise
 
-    def chunk4(st):
+    def chunkloop(st):
         def body(i, st):
             return chunk(st)
 
-        return jax.lax.fori_loop(0, 4, body, st)
+        return jax.lax.fori_loop(0, NC, body, st)
 
-    t_c = timeit(chunk4, s, inner=4 * n_inner)
-    print(f"chunk  : {t_c * 1e3:7.3f} ms/step (4 chunks x {n_inner}) "
+    t_c = timeit(chunkloop, s, inner=NC * n_inner)
+    print(f"chunk  : {t_c * 1e3:7.3f} ms/step ({NC} chunks x {n_inner}) "
           f"-> {N / t_c / 1e6:.1f}M psps")
-    print(f"residual (chunk - window - rebuild/n_inner): "
-          f"{(t_c - t_w - t_r / n_inner) * 1e3:7.3f} ms/step")
+    share = t_c - t_w  # rebuild fires on the gate, not every chunk
+    if share > 1e-6:
+        print(f"rebuild share: {share * 1e3:7.3f} ms/step "
+              f"-> one rebuild every ~{t_r / share:.0f} steps")
 
 
 def probe(N):

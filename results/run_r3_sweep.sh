@@ -3,15 +3,26 @@
 # formula + XLA-roofline columns, committed as results/bench_v5e_1chip_r3.csv
 # (+ _bf16_r3). Run on the real chip; ~15 min warm-cache.
 #
-# The two sweeps run SEQUENTIALLY in separate processes (one TPU process at
-# a time — CLAUDE.md), and each CSV is written incrementally by jtps bench's
-# failure-skip path, so a mid-sweep env fault keeps completed rows.
+# All processes run SEQUENTIALLY (one TPU process at a time — CLAUDE.md).
+# 3D_FFT at the default depth-6 x 4096^2 reproducibly CRASHES the remote
+# v5e worker ("TPU worker process crashed or restarted"), poisoning every
+# op dispatched after it in the same process (this is what truncated the
+# round-2 sweep). Each precision therefore runs as: main ops in one
+# process, then 3D_FFT alone in a quarantine process appending to the same
+# CSV — the worker restarts cleanly between processes.
 set -ue
 cd "$(dirname "$0")/.."
 
-python -m jax_tpus_benchmark_physics_simulation_tpu.cli bench \
-  --csv results/bench_v5e_1chip_r3.csv "$@"
-python -m jax_tpus_benchmark_physics_simulation_tpu.cli bench \
-  --precision bfloat16 --csv results/bench_v5e_1chip_bf16_r3.csv "$@"
+MAIN_OPS=2D,3D,Conv,2D_FFT,Bandwidth
+for prec in float32 bfloat16; do
+  suffix=""
+  [ "$prec" = bfloat16 ] && suffix="_bf16"
+  csv=results/bench_v5e_1chip${suffix}_r3.csv
+  python -m jax_tpus_benchmark_physics_simulation_tpu.cli bench \
+    --precision "$prec" --ops "$MAIN_OPS" --csv "$csv" "$@"
+  python -m jax_tpus_benchmark_physics_simulation_tpu.cli bench \
+    --precision "$prec" --ops 3D_FFT --csv "$csv" --csv-append "$@" \
+    || echo "3D_FFT ($prec) crashed the worker (known; rows above survive)"
+done
 echo "sweeps done:"
 ls -la results/bench_v5e_1chip_r3.csv results/bench_v5e_1chip_bf16_r3.csv

@@ -104,6 +104,35 @@ class TestSweep:
         plot = plot_benchmark_results(results, str(tmp_path / "bench.png"))
         assert plot and os.path.getsize(plot) > 0
 
+    def test_ops_filter_and_csv_append(self, tmp_path):
+        """--ops isolates worker-crashing ops per process; --csv-append
+        merges the quarantine run into the main CSV (run_r3_sweep.sh)."""
+        base = dict(warmup=0, steps=1, matrix_size=64, matrix_depth=2,
+                    conv_size=16, batch_size=2, max_cores=1)
+        main = run_sweep(BenchConfig(ops=("2D", "Bandwidth"), **base),
+                         log=lambda m: None)
+        assert {r["test"] for r in main} == {"2D", "Bandwidth"}
+        quarantine = run_sweep(BenchConfig(ops=("3D_FFT",), **base),
+                               log=lambda m: None)
+        assert {r["test"] for r in quarantine} == {"3D_FFT"}
+
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown ops"):
+            run_sweep(BenchConfig(ops=("4D",), **base), log=lambda m: None)
+
+        from jax_tpus_benchmark_physics_simulation_tpu.report.export import write_csv
+
+        path = str(tmp_path / "split.csv")
+        write_csv(main, path)
+        write_csv(quarantine, path, append=True)
+        import csv as csv_mod
+
+        with open(path, newline="") as f:
+            rows = list(csv_mod.DictReader(f))
+        assert [r["test"] for r in rows] == ["2D", "Bandwidth", "3D_FFT"]
+        assert all(float(r["avg_ms"]) > 0 for r in rows)
+
     def test_divisibility_gate(self):
         cfg = BenchConfig(warmup=0, steps=1, matrix_size=64, matrix_depth=3, max_cores=2)
         msgs = []
