@@ -600,11 +600,12 @@ class GridMD3:
 
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized together — see
-        grid_md.GridMD.auto_chunk_params. In 3D the window step is ~4x the
-        2D cost so the gate choice is within noise at N=100k (measured
-        57.3-57.8M psps across gates 0.25-0.45); the same size-aware ladder
-        is kept for consistency."""
-        prefer = 0.45 if self.n >= 50_000 else 0.35
+        grid_md.GridMD.auto_chunk_params. Round-3 re-measure with the
+        migrate_pallas3 rebuild on an EQUILIBRATED kT=1 state
+        (`results/gate_tuning_probe3.py`): near-flat, 0.40/k=4 best at
+        39.1M psps vs 0.45/k=2's 39.0M and 0.25/k=1's 34.9M — the same
+        0.40/full-window preference as 2D, kept for one shared rule."""
+        prefer = 0.40 if self.n >= 50_000 else 0.35
         for gate in (0.45, 0.4, 0.35, 0.3, 0.25):
             if gate > prefer:
                 continue

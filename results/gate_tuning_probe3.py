@@ -61,8 +61,24 @@ def probe(N):
         s = jax.lax.fori_loop(0, 800 // k0, lambda i, t: chunk0(t), s)
         return s, md.kinetic_energy(s)
 
-    s_hot, ke = equil(s0)
-    _ = float(ke)
+    # 3D lattice melt releases enough PE to heat kT ~1.0 -> ~1.6; rescale
+    # velocities to the target between equilibration bursts (lj_fluid's
+    # rescaling equilibration) so candidates run at the honest kT=1 state.
+    s_hot = s0
+    for _ in range(4):
+        s_hot, ke = equil(s_hot)
+        kt_now = float(ke) / (1.5 * N)
+        scale = np.sqrt(kt / kt_now)
+        zeros = jnp.zeros_like(s_hot.vxg)
+        comp = (
+            dict(cvx=zeros, cvy=zeros, cvz=zeros)
+            if s_hot.cvx is not None
+            else {}
+        )
+        s_hot = s_hot.replace(
+            vxg=s_hot.vxg * scale, vyg=s_hot.vyg * scale,
+            vzg=s_hot.vzg * scale, **comp,
+        )
     s_hot, ke = equil(s_hot)
     print(f"equilibrated: kT ~ {float(ke) / (1.5 * N):.3f}")
     s_hot = s_hot.replace(overflow=jnp.zeros((), bool))
