@@ -24,7 +24,16 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from jax_tpus_benchmark_physics_simulation_tpu.bench import ops as ops_mod
 
-STEPS = 30
+STEPS = 150
+
+_null = jax.jit(lambda x: x + 1.0)
+_ = float(_null(jnp.zeros(())))
+LAT = float("inf")
+for _ in range(5):
+    _t0 = time.perf_counter()
+    _ = float(_null(jnp.zeros(())))
+    LAT = min(LAT, time.perf_counter() - _t0)
+print(f"null-dispatch latency: {LAT * 1e3:.2f} ms (subtracted)")
 
 
 def timed(fn, *args):
@@ -35,7 +44,7 @@ def timed(fn, *args):
         t0 = time.perf_counter()
         _ = float(c(*args))
         best = min(best, time.perf_counter() - t0)
-    return best / STEPS
+    return max(best - LAT, 1e-9) / STEPS
 
 
 def loop(op):
