@@ -163,6 +163,7 @@ class GridMD:
         self.lanes = _round_up(rows_per_block * self.cps, 128)
         self.grid_shape = (self.n_blocks, self.cap, self.lanes)
         self.size = self.n_blocks * self.cap * self.lanes
+        self._interpret = interpret
         self._migrate_cache = {}
         # hot-path kernel: forces only; energy kernel: built the same way,
         # called only at sampling points (potential_energy).

@@ -112,6 +112,7 @@ def make_migrate_kernel(
     n_fields: int,
     fills: Sequence[float],
     interpret: Optional[bool] = None,
+    n_rows: Optional[int] = None,
 ):
     """Build ``migrate(code_grid, *fields) -> (*permuted_fields, occ)``.
 
@@ -119,13 +120,17 @@ def make_migrate_kernel(
     ``dcode * cap + b`` (see module docstring). ``fields``: n_fields f32
     arrays on the packed (G, C, P) layout. Empty and padding slots of the
     outputs take ``fills[f]``; ``occ`` is 1.0 exactly where a particle
-    landed."""
+    landed.
+
+    ``n_rows``: row count the call operates on (default: the full grid);
+    the sharded engine passes its per-device row count and uses the
+    attached ``.raw`` with explicitly halo-exchanged neighbor rows."""
     assert len(fills) == n_fields
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rpb = rows_per_block
     assert cps % rpb == 0
-    n_blocks = cps // rpb
+    n_blocks = (cps if n_rows is None else n_rows) // rpb
     lanes = _round_up(rpb * cps, 128)
 
     kernel = functools.partial(
@@ -174,4 +179,31 @@ def make_migrate_kernel(
             args += [f, f, f]
         return call(*args)
 
+    # raw (explicit-halo) mode: same kernel, but prev/next rows are caller
+    # -supplied arrays instead of wrapped index maps — the sharded engine
+    # runs this INSIDE shard_map on its local rows, with the one-row halos
+    # ppermuted in (same contract as cell_pallas.make_grid_force_kernel's
+    # .raw). prev[i] must hold global row i-1, next[i] global row i+1.
+    raw_call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[self_blk] * (1 + 3 * n_fields),
+        out_specs=[self_blk] * (n_fields + 1),
+        out_shape=[out_struct] * (n_fields + 1),
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )
+
+    def raw(code_grid, prevs, selfs, nexts):
+        assert rpb == 1, "raw (sharded) mode requires rows_per_block == 1"
+        assert len(prevs) == len(selfs) == len(nexts) == n_fields
+        args = [code_grid]
+        for p_, s_, x_ in zip(prevs, selfs, nexts):
+            args += [p_, s_, x_]
+        return raw_call(*args)
+
+    migrate.raw = raw
     return migrate

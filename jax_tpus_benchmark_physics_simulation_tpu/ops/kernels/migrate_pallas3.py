@@ -110,6 +110,7 @@ def make_migrate_kernel3(
     n_fields: int,
     fills: Sequence[float],
     interpret: Optional[bool] = None,
+    n_rows: Optional[int] = None,
 ):
     """Build ``migrate(max_occ, code_grid, *fields) -> (*permuted, occ)``.
 
@@ -118,12 +119,17 @@ def make_migrate_kernel3(
     target slot, else ``dcode * cap + b`` (module docstring). ``fields``:
     n_fields f32 arrays on the packed (ncx, C, P) layout. Empty and padding
     slots of the outputs take ``fills[f]``; ``occ`` is 1.0 exactly where a
-    particle landed."""
+    particle landed.
+
+    ``n_rows``: x-row count the call operates on (default: the full grid);
+    the sharded engine passes its per-device row count and uses the
+    attached ``.raw`` with explicitly halo-exchanged neighbor rows."""
     assert len(fills) == n_fields
     assert cap % 8 == 0, f"capacity {cap} must be 8-aligned (sublane chunks)"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lanes = _round_up(cps * cps, 128)
+    rows = cps if n_rows is None else n_rows
 
     kernel = functools.partial(
         _migrate_kernel3,
@@ -138,30 +144,33 @@ def make_migrate_kernel3(
     def fblock(index_map):
         return pl.BlockSpec((1, cap, lanes), index_map, memory_space=pltpu.VMEM)
 
-    prev_blk = fblock(lambda i: ((i - 1) % cps, 0, 0))
+    prev_blk = fblock(lambda i: ((i - 1) % rows, 0, 0))
     self_blk = fblock(lambda i: (i, 0, 0))
-    next_blk = fblock(lambda i: ((i + 1) % cps, 0, 0))
+    next_blk = fblock(lambda i: ((i + 1) % rows, 0, 0))
     mo_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [mo_spec, self_blk] + [prev_blk, self_blk, next_blk] * n_fields
-    out_struct = jax.ShapeDtypeStruct((cps, cap, lanes), jnp.float32)
+    out_struct = jax.ShapeDtypeStruct((rows, cap, lanes), jnp.float32)
     cost = pl.CostEstimate(
-        flops=cps * 27 * cap * cap * lanes * (1 + n_fields),
-        bytes_accessed=(1 + 2 * n_fields) * cps * cap * lanes * 4,
+        flops=rows * 27 * cap * cap * lanes * (1 + n_fields),
+        bytes_accessed=(1 + 2 * n_fields) * rows * cap * lanes * 4,
         transcendentals=0,
     )
-    call = pl.pallas_call(
-        kernel,
-        grid=(cps,),
-        in_specs=in_specs,
-        out_specs=[self_blk] * (n_fields + 1),
-        out_shape=[out_struct] * (n_fields + 1),
-        scratch_shapes=[pltpu.VMEM((n_fields, cap, lanes), jnp.float32)],
-        interpret=interpret,
-        cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024
-        ),
-    )
+
+    def build(in_specs):
+        return pl.pallas_call(
+            kernel,
+            grid=(rows,),
+            in_specs=in_specs,
+            out_specs=[self_blk] * (n_fields + 1),
+            out_shape=[out_struct] * (n_fields + 1),
+            scratch_shapes=[pltpu.VMEM((n_fields, cap, lanes), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024
+            ),
+        )
+
+    call = build([mo_spec, self_blk] + [prev_blk, self_blk, next_blk] * n_fields)
 
     def migrate(max_occ, code_grid, *fields):
         assert len(fields) == n_fields
@@ -171,4 +180,18 @@ def make_migrate_kernel3(
             args += [f, f, f]
         return call(*args)
 
+    # raw (explicit-halo) mode for the sharded engine: same kernel, but
+    # prev/next rows are caller-supplied arrays (prev[i] = global row i-1,
+    # next[i] = global row i+1), run inside shard_map on local rows.
+    raw_call = build([mo_spec] + [self_blk] * (1 + 3 * n_fields))
+
+    def raw(max_occ, code_grid, prevs, selfs, nexts):
+        assert len(prevs) == len(selfs) == len(nexts) == n_fields
+        mo = jnp.asarray(max_occ, jnp.int32).reshape((1,))
+        args = [mo, code_grid]
+        for p_, s_, x_ in zip(prevs, selfs, nexts):
+            args += [p_, s_, x_]
+        return raw_call(*args)
+
+    migrate.raw = raw
     return migrate

@@ -48,10 +48,92 @@ from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md3 import (
 class ShardedGridMD3(GridMD3):
     """GridMD3 with the x-row axis sharded over ``mesh`` (axis name 'x')."""
 
-    # the inverse-permute rebuild is pure jnp, so GSPMD can shard it; the
-    # single-chip default (dense migrate_pallas3 kernel) cannot be
-    # auto-partitioned (same split as 2D's ShardedGridMD)
-    _rebuild_migrate = GridMD3._rebuild_migrate_rows
+    # GSPMD cannot auto-partition a pallas_call, but the dense migrate
+    # kernel only reads prev/self/next x-rows — so the allocation + code
+    # scatter stay GSPMD and the permutation runs INSIDE shard_map on local
+    # rows with one-row halos ppermuted in (same design as 2D's
+    # ShardedGridMD._rebuild_migrate; the GSPMD rows permutation it
+    # replaces was the entire sharding overhead in the round-3 ablation).
+    def _rebuild_migrate(self, s: GridMD3State) -> GridMD3State:
+        gs = self.grid_shape
+        xw, yw, zw, dest_flat, code_flat, overflow = self._migration_dest3(s)
+
+        assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
+        dtype = s.xg.dtype
+        code_grid = (
+            jnp.full((self.size + 1,), -1, jnp.int32)
+            .at[dest_flat]
+            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
+            .reshape(gs)
+        )
+        fields = [xw, yw, zw, s.vxg, s.vyg, s.vzg,
+                  s.fxg, s.fyg, s.fzg, s.pid.astype(dtype)]
+        fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
+        if s.crx is not None:
+            fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
+            fills += [0.0] * 6
+
+        migrate_raw = self._migrate_call_local(len(fields), fills).raw
+        ax, p = self.axis_name, self.n_shards
+        fwd = [(i, (i - 1) % p) for i in range(p)]  # receive right nbr's 1st row
+        bwd = [(i, (i + 1) % p) for i in range(p)]  # receive left nbr's last row
+
+        def local_migrate(mo, code, *fs):
+            prevs = [
+                jnp.concatenate([lax.ppermute(f[-1:], ax, bwd), f[:-1]], axis=0)
+                for f in fs
+            ]
+            nexts = [
+                jnp.concatenate([f[1:], lax.ppermute(f[0:1], ax, fwd)], axis=0)
+                for f in fs
+            ]
+            return migrate_raw(mo, code, prevs, list(fs), nexts)
+
+        arr = P(self.axis_name)
+        out = jax.shard_map(
+            local_migrate,
+            mesh=self.mesh,
+            in_specs=(P(),) + (arr,) * (1 + len(fields)),
+            out_specs=(arr,) * (len(fields) + 1),
+            check_vma=False,
+        )(s.max_occ, code_grid, *fields)
+        occ_new = out[-1]
+
+        zeros = jnp.zeros(gs, dtype)
+        comp = (
+            dict(crx=out[10], cry=out[11], crz=out[12],
+                 cvx=out[13], cvy=out[14], cvz=out[15])
+            if s.crx is not None
+            else {}
+        )
+        return s.replace(
+            xg=out[0], yg=out[1], zg=out[2],
+            vxg=out[3], vyg=out[4], vzg=out[5],
+            fxg=out[6], fyg=out[7], fzg=out[8],
+            occ=occ_new,
+            pid=out[9].astype(jnp.int32),
+            dispx=zeros, dispy=zeros, dispz=zeros,
+            dmax2=jnp.zeros((), dtype),
+            overflow=overflow,
+            max_occ=self._max_occ(occ_new),
+            **comp,
+        )
+
+    def _migrate_call_local(self, n_fields: int, fills):
+        """Cached LOCAL-rows migrate kernel (n_rows = x-rows per device)."""
+        key = ("local", n_fields, tuple(fills))
+        cached = self._migrate_cache.get(key)
+        if cached is None:
+            from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.migrate_pallas3 import (
+                make_migrate_kernel3,
+            )
+
+            cached = make_migrate_kernel3(
+                self.cps, self.cap, n_fields, fills,
+                interpret=self._interpret, n_rows=self.rows_local,
+            )
+            self._migrate_cache[key] = cached
+        return cached
 
     def __init__(
         self,

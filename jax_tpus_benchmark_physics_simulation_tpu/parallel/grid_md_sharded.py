@@ -98,9 +98,91 @@ class ShardedGridMD(GridMD):
         return self.shard_state(state)
 
     # The single-chip engine rebuilds with the Pallas migrate kernel, which
-    # GSPMD cannot auto-partition; rebuild the sharded global state with the
-    # pure-jnp row permutation instead (same allocation, same semantics).
-    _rebuild_migrate = GridMD._rebuild_migrate_rows
+    # GSPMD cannot auto-partition. Round-3 ablation on the real chip
+    # (results/sharded_ablation_probe.py) showed the sharded WINDOW costs
+    # nothing — the entire +79% 1-device overhead was the GSPMD rows
+    # permutation (descriptor-bound, ~7.3 ms at N=100k vs 1.44 for the
+    # Pallas kernel). So: keep the allocation + code-grid scatter GSPMD
+    # (rolls, lane-axis cumsums, one int scatter — all cheap and
+    # auto-partitionable), but run the dense permutation INSIDE shard_map:
+    # each device migrates its local rows with the one-row neighbor halos
+    # ppermuted in (the kernel only ever reads prev/self/next x-rows).
+    def _rebuild_migrate(self, s: GridMDState) -> GridMDState:
+        gs = self.grid_shape
+        xw, yw, dest_flat, code_flat, overflow = self._migration_dest(s)
+
+        assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
+        dtype = s.xg.dtype
+        code_grid = (
+            jnp.full((self.size + 1,), -1, jnp.int32)
+            .at[dest_flat]
+            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
+            .reshape(gs)
+        )
+        fields = [xw, yw, s.vxg, s.vyg, s.fxg, s.fyg, s.pid.astype(dtype)]
+        fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
+        if s.crx is not None:
+            fields += [s.crx, s.cry, s.cvx, s.cvy]
+            fills += [0.0, 0.0, 0.0, 0.0]
+
+        migrate_raw = self._migrate_call_local(len(fields), fills).raw
+        ax, p = self.axis_name, self.n_shards
+        fwd = [(i, (i - 1) % p) for i in range(p)]  # receive right nbr's 1st row
+        bwd = [(i, (i + 1) % p) for i in range(p)]  # receive left nbr's last row
+
+        def local_migrate(code, *fs):
+            prevs = [
+                jnp.concatenate([lax.ppermute(f[-1:], ax, bwd), f[:-1]], axis=0)
+                for f in fs
+            ]
+            nexts = [
+                jnp.concatenate([f[1:], lax.ppermute(f[0:1], ax, fwd)], axis=0)
+                for f in fs
+            ]
+            return migrate_raw(code, prevs, list(fs), nexts)
+
+        arr = P(self.axis_name)
+        out = jax.shard_map(
+            local_migrate,
+            mesh=self.mesh,
+            in_specs=(arr,) * (1 + len(fields)),
+            out_specs=(arr,) * (len(fields) + 1),
+            check_vma=False,
+        )(code_grid, *fields)
+        occ = out[-1]
+
+        zg = jnp.zeros(gs, dtype)
+        comp = (
+            dict(crx=out[7], cry=out[8], cvx=out[9], cvy=out[10])
+            if s.crx is not None
+            else {}
+        )
+        return s.replace(
+            xg=out[0], yg=out[1], vxg=out[2], vyg=out[3],
+            fxg=out[4], fyg=out[5],
+            occ=occ,
+            pid=out[6].astype(jnp.int32),
+            dispx=zg, dispy=zg,
+            dmax2=jnp.zeros((), dtype),
+            overflow=overflow,
+            **comp,
+        )
+
+    def _migrate_call_local(self, n_fields: int, fills):
+        """Cached LOCAL-rows migrate kernel (n_rows = rows per device)."""
+        key = ("local", n_fields, tuple(fills))
+        cached = self._migrate_cache.get(key)
+        if cached is None:
+            from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.migrate_pallas import (
+                make_migrate_kernel,
+            )
+
+            cached = make_migrate_kernel(
+                self.cps, self.cap, 1, n_fields, fills,
+                interpret=self._interpret, n_rows=self.rows_local,
+            )
+            self._migrate_cache[key] = cached
+        return cached
 
     # -- sharding helpers -----------------------------------------------------
     def _state_specs(self, state: GridMDState):
