@@ -72,21 +72,38 @@ def _copy_kernel(src_ref, dst_ref):
     dst_ref[...] = src_ref[...]
 
 
-def make_bandwidth_op(n_elems: int, dtype=jnp.float32, mode: str = "stream", chunk: int = 512 * 1024):
-    """HBM bandwidth op, counted as read + write of the full array.
+def make_bandwidth_op(
+    n_elems: int,
+    dtype=jnp.float32,
+    mode: str = "stream",
+    chunk: int = 512 * 1024,
+    n_streams: int = 4,
+):
+    """HBM bandwidth op, counted as read + write of the full footprint.
 
-    ``stream`` (default): a fused elementwise pass ``x + 1`` — one HBM read,
-    one HBM write, impossible for XLA to elide when the output feeds the next
-    iteration (measured 318 GB/s on v5e vs 215 GB/s for the Pallas copy —
-    XLA's streaming pipeline wins, so it is the honest upper measurement).
-    ``pallas_copy``: explicit chunked VMEM round-trip copy kernel.
+    ``stream`` (default): ``n_streams`` INDEPENDENT fused elementwise passes
+    ``x_i + 1`` over a tuple of buffers — one HBM read + one HBM write each,
+    impossible for XLA to elide when the outputs feed the next iteration.
+    The streams must be independent loop carries: a single carried buffer
+    serializes the timed loop's iterations on one kernel and leaves the HBM
+    pipeline bubbled between them (609 GB/s on v5e), while 4 independent
+    carries overlap and reach the machine (784 GB/s, above the 743 GB/s the
+    FFT roofline row proves — results/bw_probe.py). The op therefore takes
+    and returns a TUPLE of arrays; the timed loop handles pytree carries.
+    ``pallas_copy``: explicit chunked VMEM round-trip copy kernel
+    (215 GB/s — the DMA round-trip loses to XLA's streaming pipeline).
     """
     if mode == "stream":
-        def op(x):
-            return x + jnp.asarray(1.0, dtype)
+        per_stream = max(1, n_elems // n_streams)
 
-        op.n_elems = n_elems
-        op.bytes_per_call = 2 * n_elems * jnp.dtype(dtype).itemsize
+        def op(xs):
+            one = jnp.asarray(1.0, dtype)
+            return tuple(x + one for x in xs)
+
+        op.n_elems = per_stream * n_streams
+        op.n_streams = n_streams
+        op.per_stream = per_stream
+        op.bytes_per_call = 2 * op.n_elems * jnp.dtype(dtype).itemsize
         return op
 
     interpret = jax.default_backend() != "tpu"

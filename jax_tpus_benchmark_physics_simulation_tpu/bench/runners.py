@@ -89,6 +89,8 @@ def _timed_loop(ctx: BenchContext, op, args, cores: int, chain: str = "perturb")
     ``chain``: "direct" feeds the output straight back as the input
     (copy-type ops, exact traffic); "perturb" adds a 1e-30-scaled tap of the
     output to the original input (keeps values sane for compounding ops).
+    ``x0`` may be a pytree (the bandwidth op carries a tuple of independent
+    streams so iterations can overlap — see ops.make_bandwidth_op).
     """
     steps = ctx.cfg.steps
 
@@ -101,7 +103,7 @@ def _timed_loop(ctx: BenchContext, op, args, cores: int, chain: str = "perturb")
             return x0 + (tap * 1e-30).astype(x0.dtype)
 
         x = jax.lax.fori_loop(0, steps, body, x0)
-        return jnp.sum(x)
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(x))
 
     if cores == 1:
         compiled = jax.jit(loop_body)
@@ -109,8 +111,9 @@ def _timed_loop(ctx: BenchContext, op, args, cores: int, chain: str = "perturb")
         mesh = make_mesh(cores, axis_name="bench")
 
         def sharded(x0, rest):
+            drop = lambda t: jax.tree.map(lambda a: a[0], t)
             return jax.shard_map(
-                lambda x, *r: loop_body(x[0], [q[0] for q in r])[None],
+                lambda x, *r: loop_body(drop(x), [drop(q) for q in r])[None],
                 mesh=mesh,
                 in_specs=(P("bench"),) + tuple(P("bench") for _ in rest),
                 out_specs=P("bench"),
@@ -315,15 +318,31 @@ def benchmark_fft_3d(ctx: BenchContext, cores: int):
 
 
 def benchmark_bandwidth(ctx: BenchContext, cores: int):
-    # per-core sizing: min(64Mi elems, 256Mi total / cores) (reference :359-365)
-    max_per_core = 64 * 1024 * 1024
-    requested_total = 256 * 1024 * 1024
+    # per-core sizing: the reference's min(64Mi elems, 256Mi total / cores)
+    # (:359-365) — but in BYTES (256 MiB/core, 1 GiB total), converted to
+    # elements per dtype. Element-based sizing let the bf16 sweep's whole
+    # 128 MB footprint match the chip's 128 MB VMEM, and XLA kept loop
+    # carries (partly) on-chip: the round-3 bf16 "HBM" row read 1.78 TB/s,
+    # 2.2x the physical 819 GB/s. A byte-sized footprint always spills to
+    # HBM, so f32 and bf16 measure the same memory system (f32 unchanged:
+    # 256 MiB / 4 B = the original 64Mi elems).
+    bpe = ctx.bytes_per_element
+    max_per_core = (256 * 1024 * 1024) // bpe
+    requested_total = (1024 * 1024 * 1024) // bpe
     per_core = int(min(max_per_core, requested_total // max(cores, 1)))
     op = ops_mod.make_bandwidth_op(per_core, dtype=ctx.precision)
 
     def alloc():
+        # tuple of independent streams (see ops.make_bandwidth_op): each is
+        # its own loop carry so timed iterations overlap on the HBM pipeline
         return (
-            _alloc_normal(jax.random.PRNGKey(456), cores, (op.n_elems,), ctx.precision),
+            tuple(
+                _alloc_normal(
+                    jax.random.PRNGKey(456 + i), cores,
+                    (op.per_stream,), ctx.precision,
+                )
+                for i in range(op.n_streams)
+            ),
         )
 
     return _run_op(

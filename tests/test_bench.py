@@ -55,8 +55,15 @@ class TestOps:
 
     def test_bandwidth_op_stream(self):
         op = ops.make_bandwidth_op(4096)
-        x = jnp.arange(op.n_elems, dtype=jnp.float32)
-        np.testing.assert_allclose(np.asarray(op(x)), np.asarray(x) + 1.0)
+        assert op.n_streams == 4 and op.per_stream == 1024
+        xs = tuple(
+            jnp.arange(op.per_stream, dtype=jnp.float32) + 10.0 * i
+            for i in range(op.n_streams)
+        )
+        outs = op(xs)
+        assert len(outs) == op.n_streams
+        for x, out in zip(xs, outs):
+            np.testing.assert_allclose(np.asarray(out), np.asarray(x) + 1.0)
         assert op.bytes_per_call == 2 * op.n_elems * 4
 
     def test_bandwidth_op_pallas_copy(self):
