@@ -321,18 +321,29 @@ class GridMD:
         # of all earlier classes. A target receives movers of direction d
         # from exactly one source cell (t - d), so a mover's in-class rank at
         # the target equals its rank within its source cell's class.
-        base_at_target = jnp.zeros((self.n_blocks, 1, lanes), jnp.int32)
-        target_a = jnp.full(gs, -1, jnp.int32)
-        for dx, dy in dirs:
-            m = occ_b & (dxc == dx) & (dyc == dy)
-            m_i = m.astype(jnp.int32)
-            rank = jnp.cumsum(m_i, axis=1) - m_i  # exclusive, along slots
-            count = jnp.sum(m_i, axis=1, keepdims=True)  # source frame
-            # base, expressed at the source cell: value at target t = s + d
-            base_here = roll_cells(base_at_target, -dx, -dy)
-            target_a = jnp.where(m, base_here + rank, target_a)
-            # accumulate this class's count into the target-frame base
-            base_at_target = base_at_target + roll_cells(count, dx, dy)
+        # Batched over all 9 classes at once (one one-hot stack + one
+        # cumsum instead of 9 launch-bound big-array passes; the class-order
+        # base accumulation becomes an exclusive cumsum over the tiny
+        # per-class count arrays — bit-identical permutation, see the 3D
+        # twin in grid_md3._migration_dest3 for the measured effect).
+        dcode = (dxc + 1) * 3 + (dyc + 1)  # class in 0..8
+        dm = (
+            jax.lax.broadcasted_iota(jnp.int32, (9,) + gs, 0) == dcode[None]
+        ) & occ_b[None]
+        dmi = dm.astype(jnp.int32)
+        inc = jnp.cumsum(dmi, axis=2)  # slot axis
+        ranks = inc - dmi
+        counts = jax.lax.slice_in_dim(inc, cap - 1, cap, axis=2)
+        rc = jnp.stack(
+            [roll_cells(counts[j], dx, dy) for j, (dx, dy) in enumerate(dirs)]
+        )
+        bases_t = jnp.cumsum(rc, axis=0) - rc
+        base_src = jnp.stack(
+            [roll_cells(bases_t[j], -dx, -dy) for j, (dx, dy) in enumerate(dirs)]
+        )
+        target_a = jnp.where(
+            occ_b, jnp.sum(jnp.where(dm, base_src + ranks, 0), axis=0), -1
+        )
 
         slot_overflow = jnp.any((target_a >= cap) & occ_b)
         overflow = overflow | slot_overflow
@@ -699,9 +710,12 @@ class GridMD:
         tail speed. Gate 0.40 (full window) is the round-3 measured
         steady-state optimum at large N now that the Pallas migrate kernel
         made rebuilds ~3.6x cheaper (`results/gate_tuning_probe.py`,
-        equilibrated kT=1 states: N=100k 0.40/k=4 -> 214M vs 0.45/k=2 ->
-        208M psps; N=1M 0.40/k=4 -> 183M vs 0.45/k=2 -> 179M — the cheap
-        rebuild shifts the optimum from max-gate toward longer windows).
+        equilibrated kT=1 states: N=100k 0.40/k=4 -> 431.7M vs 0.45/k=2 ->
+        418.0M psps; N=1M 0.40/k=4 -> 364.9M vs 0.45/k=2 -> 358.5M — the
+        cheap rebuild shifts the optimum from max-gate toward longer
+        windows; the probe's first committed table read 2x slow from an
+        unsynced warm dispatch inside the timed segment, since fixed —
+        ordering was preserved, so the rule choice stands).
         At smaller N the rebuild is cheap relative to the window so the
         optimum moves lower still (N=16k measured: 0.35/k=7 -> 271M vs
         0.45/k=2 -> 245M). Falls back toward 0.25 for large dt where the

@@ -269,16 +269,40 @@ class GridMD3:
             for dy in (-1, 0, 1)
             for dz in (-1, 0, 1)
         ]
-        base_at_target = jnp.zeros((cps, 1, lanes), jnp.int32)
-        target_a = jnp.full(shp, -1, jnp.int32)
-        for dx, dy, dz in dirs:
-            m = occ_b & (dxc == dx) & (dyc == dy) & (dzc == dz)
-            m_i = m.astype(jnp.int32)
-            rank = jnp.cumsum(m_i, axis=1) - m_i  # exclusive, along slots
-            count = jnp.sum(m_i, axis=1, keepdims=True)
-            base_here = roll_cells(base_at_target, -dx, -dy, -dz)
-            target_a = jnp.where(m, base_here + rank, target_a)
-            base_at_target = base_at_target + roll_cells(count, dx, dy, dz)
+        # Batched allocation over all 27 direction classes at once. The
+        # earlier form looped the 27 classes, each iteration issuing a
+        # big-array cumsum/sum/select — 27 small launch-bound passes that
+        # dominated the rebuild (~3 ms of 5.7 at N=100k). Here ONE one-hot
+        # stack + ONE cumsum computes every class's in-cell ranks; the
+        # sequential base accumulation becomes an exclusive cumsum over the
+        # (tiny) per-class count arrays along the class axis, so the
+        # allocation order — and therefore the resulting permutation — is
+        # bit-identical to the loop's.
+        dcode = ((dxc + 1) * 3 + (dyc + 1)) * 3 + (dzc + 1)  # class in 0..26
+        dm = (
+            jax.lax.broadcasted_iota(jnp.int32, (27,) + shp, 0) == dcode[None]
+        ) & occ_b[None]
+        dmi = dm.astype(jnp.int32)
+        inc = jnp.cumsum(dmi, axis=2)  # slot axis
+        ranks = inc - dmi  # exclusive in-cell rank within the class
+        counts = jax.lax.slice_in_dim(inc, cap - 1, cap, axis=2)
+        # per-class counts expressed at the TARGET cell, exclusive-prefixed
+        # in class order = first free slot before each class arrives
+        rc = jnp.stack(
+            [roll_cells(counts[j], dx, dy, dz) for j, (dx, dy, dz) in enumerate(dirs)]
+        )
+        bases_t = jnp.cumsum(rc, axis=0) - rc
+        base_src = jnp.stack(
+            [
+                roll_cells(bases_t[j], -dx, -dy, -dz)
+                for j, (dx, dy, dz) in enumerate(dirs)
+            ]
+        )
+        # each occupied slot belongs to exactly one class: the sum collapses
+        # the one-hot stack to that class's base + rank
+        target_a = jnp.where(
+            occ_b, jnp.sum(jnp.where(dm, base_src + ranks, 0), axis=0), -1
+        )
 
         slot_overflow = jnp.any((target_a >= cap) & occ_b)
         overflow = overflow | slot_overflow
@@ -288,7 +312,7 @@ class GridMD3:
         dest = ((txc * cap + target_a) * lanes + tlane).astype(jnp.int32)
         dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
         slot_b = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
-        code = (((dxc + 1) * 3 + (dyc + 1)) * 3 + (dzc + 1)) * cap + slot_b
+        code = dcode * cap + slot_b
         return xw, yw, zw, dest.reshape(-1), code.reshape(-1), overflow
 
     def _migrate_call(self, n_fields: int, fills):
@@ -602,9 +626,10 @@ class GridMD3:
         """``(n_inner, gate_frac)`` sized together — see
         grid_md.GridMD.auto_chunk_params. Round-3 re-measure with the
         migrate_pallas3 rebuild on an EQUILIBRATED kT=1 state
-        (`results/gate_tuning_probe3.py`): near-flat, 0.40/k=4 best at
-        39.1M psps vs 0.45/k=2's 39.0M and 0.25/k=1's 34.9M — the same
-        0.40/full-window preference as 2D, kept for one shared rule."""
+        (`results/gate_tuning_probe3.py`, post async-fix): near-flat,
+        0.40/k=4 best at 78.0M psps vs 0.45/k=2's 77.5M and 0.25/k=1's
+        69.9M — the same 0.40/full-window preference as 2D, kept for one
+        shared rule."""
         prefer = 0.40 if self.n >= 50_000 else 0.35
         for gate in (0.45, 0.4, 0.35, 0.3, 0.25):
             if gate > prefer:

@@ -95,6 +95,9 @@ def probe(N):
         best = float("inf")
         for _ in range(3):
             s1, ke = run(s1)
+            _ = float(ke)  # drain the async queue BEFORE t0: an unsynced
+            # dispatch here would put TWO runs inside the timed segment
+            # (exactly 2x — the round-3 "equilibrated 214M" artifact)
             t0 = time.perf_counter()
             s1, ke = run(s1)
             _ = float(ke)

@@ -106,6 +106,7 @@ def probe(N):
         best = float("inf")
         for _ in range(3):
             s1, ke = run(s1)
+            _ = float(ke)  # drain the async queue BEFORE t0 (see 2D probe)
             t0 = time.perf_counter()
             s1, ke = run(s1)
             _ = float(ke)

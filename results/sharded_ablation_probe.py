@@ -85,6 +85,7 @@ def timed(window, state, label):
     best = float("inf")
     for _ in range(3):
         st, chk = run(st)
+        _ = float(chk)  # drain the async queue BEFORE t0 (2x otherwise)
         t0 = time.perf_counter()
         st, chk = run(st)
         _ = float(chk)
