@@ -251,12 +251,13 @@ class GridMD:
 
     # -- migration rebuild (sort-free) ----------------------------------------
     def _migration_dest(self, s: GridMDState):
-        """Allocation phase of the migration rebuild: wrapped coordinates,
-        per-slot flat destination index (``self.size`` = dropped), the
-        per-slot source code ``dcode * cap + b`` consumed by the migrate
-        kernel (migrate_pallas), and the overflow flag. Split out so
-        results/rebuild_phase_probe.py can time allocation and permutation
-        separately."""
+        """Allocation phase of the migration rebuild. Returns wrapped
+        coordinates, the SOURCE-frame code grid ``dcode * cap + target_a``
+        consumed by the scatter-free migrate kernel (migrate_pallas), the
+        post-rebuild occupancy grid, the per-slot flat destination index
+        (``self.size`` = dropped; used only by the GSPMD rows variant),
+        and the overflow flag. Split out so results/rebuild_phase_probe.py
+        can time allocation and permutation separately."""
         cps, cap, lanes, box = self.cps, self.cap, self.lanes, self.box
         rpb = self.rows_per_block
         gs = self.grid_shape
@@ -347,15 +348,30 @@ class GridMD:
 
         slot_overflow = jnp.any((target_a >= cap) & occ_b)
         overflow = overflow | slot_overflow
+        valid = occ_b & (target_a >= 0) & (target_a < cap)
 
-        # flat destination index (in target frame); OOB -> dropped
+        # SOURCE-frame code for the scatter-free migrate kernel: the slot's
+        # direction class and its ALLOCATED target slot, -1 where invalid.
+        # Classes occupy disjoint code ranges [j*cap, (j+1)*cap), so the
+        # kernel's per-direction probe can never cross-match (the overflow
+        # guard above keeps target_a < cap out of band).
+        scode = jnp.where(valid, dcode * cap + target_a, -1)
+
+        # post-rebuild occupancy: slots fill compactly from 0, so
+        # occ'[t, a'] = a' < new_count(t); padding lanes carry rolled
+        # garbage counts and are masked off.
+        tot = jnp.minimum(jnp.sum(rc, axis=0), cap)  # (n_blocks, 1, lanes)
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, gs, 1)
+        occ_new = ((slot_i < tot) & (lane_i < rpb * cps)).astype(s.occ.dtype)
+
+        # flat destination index (in target frame); OOB -> dropped. Only
+        # the GSPMD rows-permutation rebuild consumes this (the Pallas
+        # rebuild is scatter-free); it is pure elementwise arithmetic.
         dest = (
             ((txc // rpb) * cap + target_a) * lanes + (txc % rpb) * cps + tyc
         ).astype(jnp.int32)
-        dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
-        slot_b = jax.lax.broadcasted_iota(jnp.int32, gs, 1)
-        code = ((dxc + 1) * 3 + (dyc + 1)) * cap + slot_b
-        return xw, yw, dest.reshape(-1), code.reshape(-1), overflow
+        dest = jnp.where(valid, dest, self.size)
+        return xw, yw, scode, occ_new, dest.reshape(-1), overflow
 
     def _migrate_call(self, n_fields: int, fills):
         """Cached migrate_pallas kernel for this grid (see its module
@@ -382,32 +398,25 @@ class GridMD:
         target cell is computed with rolls + small-axis cumsums (no global
         argsort — measured 79 ms for the sort-based rebuild at N=100k on
         v5e vs ~5 ms for this); the slot permutation itself is the dense
-        migrate_pallas kernel driven by ONE single-column int scatter. A
-        particle that somehow moved further than one cell raises
-        ``overflow`` (and is kept in place — loud, not silent). Coordinates
-        are wrapped back into [0, box) here (the only place they ever are)
-        and empty slots re-filled with the sentinel."""
+        migrate_pallas kernel consuming the source-frame code grid — ZERO
+        descriptor ops in the whole rebuild (the code grid's former
+        single-column scatter measured ~3 ms at N=1M, see migrate_pallas
+        docstring). A particle that somehow moved further than one cell
+        raises ``overflow`` (and is kept in place — loud, not silent).
+        Coordinates are wrapped back into [0, box) here (the only place
+        they ever are) and empty slots re-filled with the sentinel."""
         gs = self.grid_shape
-        xw, yw, dest_flat, code_flat, overflow = self._migration_dest(s)
+        xw, yw, scode, occ, _dest, overflow = self._migration_dest(s)
 
-        # ONE single-column int scatter builds the target-frame code grid
-        # (-1 = empty); the Pallas kernel then realizes the permutation as
-        # dense compare/selects. pid rides as f32 — exact for n < 2^24.
+        # pid rides as f32 — exact for n < 2^24.
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
-        code_grid = (
-            jnp.full((self.size + 1,), -1, jnp.int32)
-            .at[dest_flat]
-            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
-            .reshape(gs)
-        )
         fields = [xw, yw, s.vxg, s.vyg, s.fxg, s.fyg, s.pid.astype(dtype)]
         fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
         if s.crx is not None:
             fields += [s.crx, s.cry, s.cvx, s.cvy]
             fills += [0.0, 0.0, 0.0, 0.0]
-        out = self._migrate_call(len(fields), fills)(code_grid, *fields)
-        occ = out[-1]
+        out = self._migrate_call(len(fields), fills)(scode, *fields)
 
         zg = jnp.zeros(gs, dtype)
         comp = (
@@ -440,7 +449,7 @@ class GridMD:
         this on the sharded global state (a pallas_call cannot be
         auto-partitioned)."""
         gs = self.grid_shape
-        xw, yw, dest_flat, _code, overflow = self._migration_dest(s)
+        xw, yw, _scode, _occ, dest_flat, overflow = self._migration_dest(s)
 
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype

@@ -214,10 +214,12 @@ class GridMD3:
         return v
 
     def _migration_dest3(self, s: GridMD3State):
-        """Allocation phase of the 3D migration rebuild: wrapped
-        coordinates, per-slot flat destination index (``self.size`` =
-        dropped), the per-slot source code ``dcode * cap + b`` consumed by
-        the migrate kernel (migrate_pallas3), and the overflow flag.
+        """Allocation phase of the 3D migration rebuild. Returns wrapped
+        coordinates, the SOURCE-frame code grid ``dcode * cap + target_a``
+        consumed by the scatter-free migrate kernel (migrate_pallas3), the
+        post-rebuild occupancy grid, the per-slot flat destination index
+        (``self.size`` = dropped; used only by the GSPMD rows variant),
+        and the overflow flag.
 
         Runs entirely in the PACKED (ncx, C, P) layout: y/z cell rolls are
         lane-axis rolls with periodic-seam selects (_shift_lane_plane — the
@@ -306,14 +308,29 @@ class GridMD3:
 
         slot_overflow = jnp.any((target_a >= cap) & occ_b)
         overflow = overflow | slot_overflow
+        valid = occ_b & (target_a >= 0) & (target_a < cap)
 
-        # flat destination in the same packed layout; OOB/pad -> dropped
+        # SOURCE-frame code for the scatter-free migrate kernel: the slot's
+        # direction class and its ALLOCATED target slot, -1 where invalid.
+        # Classes occupy disjoint code ranges [j*cap, (j+1)*cap), so the
+        # kernel's per-direction probe can never cross-match (the overflow
+        # guard above keeps target_a < cap out of band).
+        scode = jnp.where(valid, dcode * cap + target_a, -1)
+
+        # post-rebuild occupancy: slots fill compactly from 0, so
+        # occ'[t, a'] = a' < new_count(t); padding lanes carry rolled
+        # garbage counts and are masked off.
+        tot = jnp.minimum(jnp.sum(rc, axis=0), cap)  # (ncx, 1, P)
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        occ_new = ((slot_i < tot) & (col < cps * cps)).astype(s.occ.dtype)
+
+        # flat destination in the same packed layout; OOB/pad -> dropped.
+        # Only the GSPMD rows-permutation rebuild consumes this (the
+        # Pallas rebuild is scatter-free).
         tlane = tyc * cps + tzc
         dest = ((txc * cap + target_a) * lanes + tlane).astype(jnp.int32)
-        dest = jnp.where(occ_b & (target_a >= 0) & (target_a < cap), dest, self.size)
-        slot_b = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
-        code = dcode * cap + slot_b
-        return xw, yw, zw, dest.reshape(-1), code.reshape(-1), overflow
+        dest = jnp.where(valid, dest, self.size)
+        return xw, yw, zw, scode, occ_new, dest.reshape(-1), overflow
 
     def _migrate_call(self, n_fields: int, fills):
         """Cached migrate_pallas3 kernel for this grid (descriptor-free
@@ -335,8 +352,11 @@ class GridMD3:
         """3D migration re-binning: between rebuilds every particle moved
         < skin/2 < cell size, so its new cell is one of the 27 neighbors.
         Allocation via rolls + small-axis cumsums (_migration_dest3); the
-        slot permutation itself is the dense migrate_pallas3 kernel driven
-        by ONE single-column int scatter — the inverse-permute variant
+        slot permutation itself is the dense migrate_pallas3 kernel
+        consuming the source-frame code grid — ZERO descriptor ops in the
+        whole rebuild (the code grid's former single-column scatter
+        measured 1.5 ms of the 5.6 ms N=100k rebuild,
+        results/rebuild3_phase_probe.py). The inverse-permute variant
         (:meth:`_rebuild_migrate_rows`) is descriptor-bound at ~11 ms for
         3D N=100k's 313k slots (results/md3_breakdown_probe.py); the dense
         kernel does the same permutation as VPU compare/selects bounded by
@@ -344,16 +364,10 @@ class GridMD3:
         [0, box) here (the only place they ever are) and empty slots
         re-filled with the sentinel."""
         gs = self.grid_shape
-        xw, yw, zw, dest_flat, code_flat, overflow = self._migration_dest3(s)
+        xw, yw, zw, scode, occ_new, _dest, overflow = self._migration_dest3(s)
 
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
-        code_grid = (
-            jnp.full((self.size + 1,), -1, jnp.int32)
-            .at[dest_flat]
-            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
-            .reshape(gs)
-        )
         fields = [xw, yw, zw, s.vxg, s.vyg, s.vzg,
                   s.fxg, s.fyg, s.fzg, s.pid.astype(dtype)]
         fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
@@ -361,9 +375,8 @@ class GridMD3:
             fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
             fills += [0.0] * 6
         out = self._migrate_call(len(fields), fills)(
-            s.max_occ, code_grid, *fields
+            s.max_occ, scode, *fields
         )
-        occ_new = out[-1]
 
         zeros = jnp.zeros(gs, dtype)
         comp = (
@@ -394,7 +407,7 @@ class GridMD3:
         ~11 ms at 3D N=100k) but pure jnp: GSPMD can shard it, so
         ShardedGridMD3 rebuilds with this (a pallas_call cannot be
         auto-partitioned). Pad-lane rows carry dest=size and drop."""
-        xw, yw, zw, dest_flat, _code, overflow = self._migration_dest3(s)
+        xw, yw, zw, _scode, _occ, dest_flat, overflow = self._migration_dest3(s)
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
         fields = [xw, yw, zw, s.vxg, s.vyg, s.vzg,

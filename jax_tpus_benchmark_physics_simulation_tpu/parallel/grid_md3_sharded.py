@@ -49,23 +49,18 @@ class ShardedGridMD3(GridMD3):
     """GridMD3 with the x-row axis sharded over ``mesh`` (axis name 'x')."""
 
     # GSPMD cannot auto-partition a pallas_call, but the dense migrate
-    # kernel only reads prev/self/next x-rows — so the allocation + code
-    # scatter stay GSPMD and the permutation runs INSIDE shard_map on local
-    # rows with one-row halos ppermuted in (same design as 2D's
+    # kernel only reads prev/self/next x-rows — so the allocation stays
+    # GSPMD and the permutation runs INSIDE shard_map on local rows with
+    # one-row halos ppermuted in, the source-frame code grid exchanged
+    # exactly like the fields (same design as 2D's
     # ShardedGridMD._rebuild_migrate; the GSPMD rows permutation it
     # replaces was the entire sharding overhead in the round-3 ablation).
     def _rebuild_migrate(self, s: GridMD3State) -> GridMD3State:
         gs = self.grid_shape
-        xw, yw, zw, dest_flat, code_flat, overflow = self._migration_dest3(s)
+        xw, yw, zw, scode, occ_new, _dest, overflow = self._migration_dest3(s)
 
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
-        code_grid = (
-            jnp.full((self.size + 1,), -1, jnp.int32)
-            .at[dest_flat]
-            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
-            .reshape(gs)
-        )
         fields = [xw, yw, zw, s.vxg, s.vyg, s.vzg,
                   s.fxg, s.fyg, s.fzg, s.pid.astype(dtype)]
         fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
@@ -78,26 +73,34 @@ class ShardedGridMD3(GridMD3):
         fwd = [(i, (i - 1) % p) for i in range(p)]  # receive right nbr's 1st row
         bwd = [(i, (i + 1) % p) for i in range(p)]  # receive left nbr's last row
 
+        def halo(f):
+            prev = jnp.concatenate(
+                [lax.ppermute(f[-1:], ax, bwd), f[:-1]], axis=0
+            )
+            nxt = jnp.concatenate(
+                [f[1:], lax.ppermute(f[0:1], ax, fwd)], axis=0
+            )
+            return prev, nxt
+
         def local_migrate(mo, code, *fs):
-            prevs = [
-                jnp.concatenate([lax.ppermute(f[-1:], ax, bwd), f[:-1]], axis=0)
-                for f in fs
-            ]
-            nexts = [
-                jnp.concatenate([f[1:], lax.ppermute(f[0:1], ax, fwd)], axis=0)
-                for f in fs
-            ]
-            return migrate_raw(mo, code, prevs, list(fs), nexts)
+            cprev, cnext = halo(code)
+            halos = [halo(f) for f in fs]
+            return migrate_raw(
+                mo,
+                (cprev, code, cnext),
+                [h[0] for h in halos],
+                list(fs),
+                [h[1] for h in halos],
+            )
 
         arr = P(self.axis_name)
         out = jax.shard_map(
             local_migrate,
             mesh=self.mesh,
             in_specs=(P(),) + (arr,) * (1 + len(fields)),
-            out_specs=(arr,) * (len(fields) + 1),
+            out_specs=(arr,) * len(fields),
             check_vma=False,
-        )(s.max_occ, code_grid, *fields)
-        occ_new = out[-1]
+        )(s.max_occ, scode, *fields)
 
         zeros = jnp.zeros(gs, dtype)
         comp = (

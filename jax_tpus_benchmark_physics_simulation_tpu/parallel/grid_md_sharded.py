@@ -106,19 +106,14 @@ class ShardedGridMD(GridMD):
     # (rolls, lane-axis cumsums, one int scatter — all cheap and
     # auto-partitionable), but run the dense permutation INSIDE shard_map:
     # each device migrates its local rows with the one-row neighbor halos
-    # ppermuted in (the kernel only ever reads prev/self/next x-rows).
+    # ppermuted in (the kernel only ever reads prev/self/next x-rows; the
+    # source-frame code grid is halo-exchanged exactly like the fields).
     def _rebuild_migrate(self, s: GridMDState) -> GridMDState:
         gs = self.grid_shape
-        xw, yw, dest_flat, code_flat, overflow = self._migration_dest(s)
+        xw, yw, scode, occ, _dest, overflow = self._migration_dest(s)
 
         assert self.n < (1 << 24), "pid-in-f32 packing requires n < 2^24"
         dtype = s.xg.dtype
-        code_grid = (
-            jnp.full((self.size + 1,), -1, jnp.int32)
-            .at[dest_flat]
-            .set(code_flat, mode="drop", unique_indices=True)[: self.size]
-            .reshape(gs)
-        )
         fields = [xw, yw, s.vxg, s.vyg, s.fxg, s.fyg, s.pid.astype(dtype)]
         fills = [self.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
         if s.crx is not None:
@@ -130,26 +125,33 @@ class ShardedGridMD(GridMD):
         fwd = [(i, (i - 1) % p) for i in range(p)]  # receive right nbr's 1st row
         bwd = [(i, (i + 1) % p) for i in range(p)]  # receive left nbr's last row
 
+        def halo(f):
+            prev = jnp.concatenate(
+                [lax.ppermute(f[-1:], ax, bwd), f[:-1]], axis=0
+            )
+            nxt = jnp.concatenate(
+                [f[1:], lax.ppermute(f[0:1], ax, fwd)], axis=0
+            )
+            return prev, nxt
+
         def local_migrate(code, *fs):
-            prevs = [
-                jnp.concatenate([lax.ppermute(f[-1:], ax, bwd), f[:-1]], axis=0)
-                for f in fs
-            ]
-            nexts = [
-                jnp.concatenate([f[1:], lax.ppermute(f[0:1], ax, fwd)], axis=0)
-                for f in fs
-            ]
-            return migrate_raw(code, prevs, list(fs), nexts)
+            cprev, cnext = halo(code)
+            halos = [halo(f) for f in fs]
+            return migrate_raw(
+                (cprev, code, cnext),
+                [h[0] for h in halos],
+                list(fs),
+                [h[1] for h in halos],
+            )
 
         arr = P(self.axis_name)
         out = jax.shard_map(
             local_migrate,
             mesh=self.mesh,
             in_specs=(arr,) * (1 + len(fields)),
-            out_specs=(arr,) * (len(fields) + 1),
+            out_specs=(arr,) * len(fields),
             check_vma=False,
-        )(code_grid, *fields)
-        occ = out[-1]
+        )(scode, *fields)
 
         zg = jnp.zeros(gs, dtype)
         comp = (

@@ -1,7 +1,10 @@
-"""Split the 3D rebuild's 5.6 ms into allocation / code-grid scatter /
+"""Split the 3D rebuild into allocation / (legacy) code-grid scatter /
 migrate-kernel phases on an equilibrated state (the batched one-hot
 allocation saved only 0.13 ms end-to-end, so the pre-batching claim that
-"~3 ms is allocation" needs a direct measurement).
+"~3 ms is allocation" needed a direct measurement; the split then showed
+the scatter at 1.5 ms — which the source-frame-code kernel now removes.
+The "alloc + code scatter" row reproduces the legacy scatter inline so
+the saving stays measurable after the production path dropped it).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python results/rebuild3_phase_probe.py [N]
 """
@@ -88,11 +91,11 @@ def timed(label, fn):
 @jax.jit
 def alloc_only(st):
     def body(i, acc):
-        xw, yw, zw, dest, code, ovf = md._migration_dest3(
+        xw, yw, zw, scode, occ, dest, ovf = md._migration_dest3(
             st.replace(xg=st.xg + acc * 1e-12)
         )
         return acc * 1e-12 + jnp.sum(dest.astype(jnp.float32)) + jnp.sum(
-            code.astype(jnp.float32)
+            scode.astype(jnp.float32)
         )
 
     return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
@@ -102,13 +105,14 @@ def alloc_only(st):
 @jax.jit
 def alloc_scatter(st):
     def body(i, acc):
-        xw, yw, zw, dest_flat, code_flat, ovf = md._migration_dest3(
+        xw, yw, zw, scode, occ, dest_flat, ovf = md._migration_dest3(
             st.replace(xg=st.xg + acc * 1e-12)
         )
+        # legacy target-frame scatter, kept for the A/B
         code_grid = (
             jnp.full((md.size + 1,), -1, jnp.int32)
             .at[dest_flat]
-            .set(code_flat, mode="drop", unique_indices=True)[: md.size]
+            .set(scode.reshape(-1), mode="drop", unique_indices=True)[: md.size]
         )
         return acc * 1e-12 + jnp.sum(code_grid.astype(jnp.float32))
 
@@ -125,9 +129,9 @@ def full_rebuild(st):
 
 
 t_alloc = timed("allocation (_migration_dest3)", alloc_only)
-t_as = timed("allocation + code scatter", alloc_scatter)
-t_full = timed("full rebuild", full_rebuild)
+t_as = timed("allocation + legacy scatter", alloc_scatter)
+t_full = timed("full rebuild (scatter-free)", full_rebuild)
 print(
-    f"split: alloc {t_alloc:.3f} / scatter {t_as - t_alloc:.3f} / "
-    f"migrate-kernel+rest {t_full - t_as:.3f} ms"
+    f"split: alloc {t_alloc:.3f} / legacy scatter (removed) "
+    f"{t_as - t_alloc:.3f} / migrate-kernel+rest {t_full - t_alloc:.3f} ms"
 )

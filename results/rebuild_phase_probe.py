@@ -77,7 +77,7 @@ def probe(N):
     print(f"\n== N={N:,}: slots={size:,} F={F} ==")
 
     # realistic inputs captured once
-    xw, yw, dest_flat, _code, _ = jax.jit(md._migration_dest)(s)
+    xw, yw, _scode, _occ, dest_flat, _ = jax.jit(md._migration_dest)(s)
     fields = [xw, yw, s.vxg, s.vyg, s.fxg, s.fyg, s.occ, s.pid.astype(jnp.float32),
               s.crx, s.cry, s.cvx, s.cvy]
     fills = [md.sentinel, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0, 0.0]
@@ -95,7 +95,7 @@ def probe(N):
     # 1. alloc
     def f_alloc(s):
         def body(i, s):
-            xw, yw, d, _code, _ = md._migration_dest(s)
+            xw, yw, _sc, _oc, d, _ = md._migration_dest(s)
             return s.replace(xg=xw + 1e-30 * d.reshape(md.grid_shape).astype(jnp.float32))
         return jax.lax.fori_loop(0, R, body, s)
     print(f"alloc  : {timed(f_alloc, s) * 1e3:8.3f} ms")
