@@ -34,10 +34,13 @@ _B4 = jnp.array(
 )
 
 
-def _dopri5_step(f: Callable, t, y, dt):
-    """One embedded step: returns (y5, error_estimate, k1_next_reuse)."""
-    ks = []
-    for i in range(7):
+def _dopri5_step(f: Callable, t, y, dt, k1):
+    """One embedded step from a PRECOMPUTED ``k1 = f(t, y)`` (FSAL: dopri5's
+    7th stage is evaluated at ``(t+dt, y5)``, so an accepted step's ``k7`` IS
+    the next step's ``k1`` — 6 fresh evals per attempt instead of 7).
+    Returns ``(y5, error_estimate, k7)``."""
+    ks = [k1]
+    for i in range(1, 7):
         ti = t + _C[i] * dt
         yi = y
         for j, a in enumerate(_A[i]):
@@ -46,13 +49,14 @@ def _dopri5_step(f: Callable, t, y, dt):
     ks = jnp.stack(ks)
     y5 = y + dt * jnp.tensordot(_B5, ks, axes=1)
     y4 = y + dt * jnp.tensordot(_B4, ks, axes=1)
-    return y5, y5 - y4
+    return y5, y5 - y4, ks[6]
 
 
 class Dopri5Result(NamedTuple):
     ys: jax.Array  # (len(ts), state_dim)
     steps_taken: jax.Array  # total accepted steps
     steps_exceeded: jax.Array  # bool: max_steps hit in some interval
+    ode_evals: jax.Array = jnp.zeros((), jnp.int32)  # total f() evaluations
 
 
 def dopri5_integrate(
@@ -78,16 +82,19 @@ def dopri5_integrate(
         return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
     def advance_to(carry, t_next):
-        t, y, dt, total, exceeded = carry
+        # k1 = ode_fn(t, y) rides the carry across steps AND output intervals
+        # (FSAL): only a rejected attempt wastes its k7, so accepted steps
+        # cost 6 evals, not 7 (~14% fewer at typical accept rates).
+        t, y, dt, k1, total, evals, exceeded = carry
 
         def cond(s):
-            t, y, dt, n = s
+            t, y, dt, k1, n, ev = s
             return (t < t_next - 1e-12) & (n < max_steps_per_interval)
 
         def body(s):
-            t, y, dt, n = s
+            t, y, dt, k1, n, ev = s
             dt_try = jnp.minimum(dt, t_next - t)
-            y_new, err = _dopri5_step(ode_fn, t, y, dt_try)
+            y_new, err, k7 = _dopri5_step(ode_fn, t, y, dt_try, k1)
             norm = err_norm(err, y, y_new)
             accept = norm <= 1.0
             factor = jnp.clip(
@@ -97,20 +104,27 @@ def dopri5_integrate(
             )
             t = jnp.where(accept, t + dt_try, t)
             y = jnp.where(accept, y_new, y)
+            k1 = jnp.where(accept, k7, k1)
             dt = dt_try * factor
-            return (t, y, dt, n + 1)
+            return (t, y, dt, k1, n + 1, ev + 6)
 
-        t, y, dt, n = lax.while_loop(cond, body, (t, y, dt, jnp.zeros((), jnp.int32)))
+        t, y, dt, k1, n, evals = lax.while_loop(
+            cond, body, (t, y, dt, k1, jnp.zeros((), jnp.int32), evals)
+        )
         exceeded = exceeded | (n >= max_steps_per_interval) & (t < t_next - 1e-12)
-        return (t_next, y, dt, total + n, exceeded), y
+        return (t_next, y, dt, k1, total + n, evals, exceeded), y
 
     init = (
         ts[0],
         y0,
         jnp.asarray(dt0, y0.dtype),
+        ode_fn(ts[0], y0),  # the single non-FSAL evaluation
         jnp.zeros((), jnp.int32),
+        jnp.ones((), jnp.int32),
         jnp.zeros((), bool),
     )
-    (_, _, _, total, exceeded), ys = lax.scan(advance_to, init, ts[1:])
+    (_, _, _, _, total, evals, exceeded), ys = lax.scan(advance_to, init, ts[1:])
     ys = jnp.concatenate([y0[None], ys], axis=0)
-    return Dopri5Result(ys=ys, steps_taken=total, steps_exceeded=exceeded)
+    return Dopri5Result(
+        ys=ys, steps_taken=total, steps_exceeded=exceeded, ode_evals=evals
+    )

@@ -70,6 +70,29 @@ class TestDopri5:
         )
         assert bool(res.steps_exceeded)
 
+    def test_fsal_eval_count(self):
+        """FSAL: each attempted step costs 6 fresh ODE evals (not 7), plus
+        the single k1 bootstrap — counted exactly by a traced call counter
+        and reported in ``ode_evals``."""
+        counter = {"n": 0}
+
+        def ode(t, y):
+            counter["n"] += 1  # trace-time count: while_loop body traces once
+            return jnp.array([y[1], -y[0]])
+
+        ts = jnp.linspace(0.0, 10.0, 3)
+        res = dopri5_integrate(ode, jnp.array([1.0, 0.0]), ts, rtol=1e-7, atol=1e-9)
+        # the traced body contains exactly 6 evals (k2..k7); k1 comes from
+        # the carry, bootstrapped by 1 eval outside the loop
+        assert counter["n"] == 6 + 1
+        # ode_evals accounting: 1 bootstrap + 6 per attempted step, and at
+        # least the accepted-step count's worth of attempts
+        n_attempts = (int(res.ode_evals) - 1) // 6
+        assert int(res.ode_evals) == 1 + 6 * n_attempts
+        assert n_attempts >= int(res.steps_taken)
+        # trajectory still correct with FSAL reuse
+        np.testing.assert_allclose(float(res.ys[-1, 0]), np.cos(10.0), atol=1e-5)
+
     def test_jit_compatible(self):
         ts = jnp.linspace(0.0, 1.0, 4)
         f = jax.jit(
