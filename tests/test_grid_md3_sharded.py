@@ -110,3 +110,30 @@ class TestSharded3Trajectory:
         pos, vel, local, _ = setup()
         with pytest.raises(ValueError):
             ShardedGridMD3(local.grid_fn, make_mesh(3, axis_name="x"))
+
+
+class TestSharded3RebuildDescriptorFree:
+    """3D twin of TestShardedRebuildDescriptorFree (test_grid_md_sharded):
+    the sharded 3D rebuild must stay free of gather/scatter descriptor
+    HLOs (the +1.9%-machinery property measured on-chip cannot silently
+    regress to the descriptor-bound +79% rows path)."""
+
+    @staticmethod
+    def _descriptor_ops(fn, s):
+        import re
+
+        txt = jax.jit(fn).lower(s).compile().as_text()
+        pat = re.compile(r"(?<![\w-])(gather|scatter)\(")
+        return [ln.strip()[:120] for ln in txt.splitlines() if pat.search(ln)]
+
+    def test_sharded_rebuild_is_descriptor_free(self):
+        pos, vel, local, sharded = setup()
+        gss = sharded.shard_state(local.init(pos, vel))
+        bad = self._descriptor_ops(sharded._rebuild_migrate, gss)
+        assert not bad, f"descriptor ops crept into the sharded rebuild: {bad[:5]}"
+
+    def test_guard_detects_round2_rows_path(self):
+        pos, vel, local, _ = setup()
+        gs = local.init(pos, vel)
+        bad = self._descriptor_ops(local._rebuild_migrate_rows, gs)
+        assert bad, "detector no longer sees the descriptor-bound rows path"
