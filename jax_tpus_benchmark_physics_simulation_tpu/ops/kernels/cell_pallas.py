@@ -145,8 +145,16 @@ def _newton_kernel(
         if self_block:
             sub = jax.lax.broadcasted_iota(jnp.int32, kk, 0)
             valid = valid & (sub // cap < sub % cap)  # a < b: each pair once
-        r2s = jnp.where(valid, r2, 1.0)
-        inv = sigma2 / r2s
+        # Round-4 trim (results/vpu_oprate_probe.py): an f32 divide costs
+        # ~2.3 fma-slots on this VPU; approx-reciprocal + one Newton step
+        # costs ~1.4 and reaches ~1e-7 rel err (~f32 roundoff) — and the
+        # r2s guard select is dropped entirely: invalid pairs produce
+        # inf/NaN through the polynomial, which the final fmag select
+        # replaces with exact 0 (select does not propagate NaN).
+        inv = pl.reciprocal(r2, approx=True)
+        inv = inv * (2.0 - r2 * inv)
+        if sigma2 != 1.0:
+            inv = sigma2 * inv
         s6 = inv * inv * inv
         s12 = s6 * s6
         fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale

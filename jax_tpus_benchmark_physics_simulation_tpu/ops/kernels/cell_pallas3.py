@@ -236,8 +236,13 @@ def _newton_kernel3(
                 if kind == "self":
                     # a < b, in global slot indices
                     valid = valid & (sub_a_loc + a0 < sub_b_loc + b0)
-                r2s = jnp.where(valid, r2, 1.0)
-                inv = sigma2 / r2s
+                # approx-reciprocal + one Newton step instead of the
+                # divide+guard-select (~1 fma-slot/pair saved, ~1e-7 rel
+                # err — see cell_pallas.py / results/vpu_oprate_probe.py)
+                inv = pl.reciprocal(r2, approx=True)
+                inv = inv * (2.0 - r2 * inv)
+                if sigma2 != 1.0:
+                    inv = sigma2 * inv
                 s6 = inv * inv * inv
                 s12 = s6 * s6
                 fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale

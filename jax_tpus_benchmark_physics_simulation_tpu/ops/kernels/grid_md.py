@@ -284,9 +284,15 @@ class GridMD:
         dyc = (tyc - cy + 1 + cps) % cps - 1
         moved_far = occ_b & ((jnp.abs(dxc) > 1) | (jnp.abs(dyc) > 1))
         overflow = s.overflow | jnp.any(moved_far)
-        # clamp far-movers to "stay" (flagged above)
+        # clamp far-movers to "stay" (flagged above), and re-derive the
+        # target coords from the CLAMPED directions so dest stays consistent
+        # with the slot allocation even in flagged states (a far-mover is
+        # allocated a stayer slot in its SOURCE cell; writing it to the
+        # unclamped target cell could collide with that cell's own slots)
         dxc = jnp.where(moved_far, 0, dxc)
         dyc = jnp.where(moved_far, 0, dyc)
+        txc = (cx + dxc) % cps
+        tyc = (cy + dyc) % cps
 
         def roll_cells(v, dx, dy):
             """Periodic shift by (dx, dy) CELLS on the packed layout:
@@ -712,6 +718,49 @@ class GridMD:
             return window(s)
 
         return chunk
+
+    def make_production_run(
+        self, n_steps: int, n_inner: int, gate_frac: float = 0.25, thermostat=None
+    ):
+        """Cond-free production driver: ``run(s) -> s`` advancing EXACTLY
+        ``n_steps`` (``n_inner`` must divide it) as a nested while-loop —
+        inner loop runs k-step windows until the rebuild gate trips (checked
+        between windows, the same cadence as :meth:`make_chunk_step`'s
+        cond), outer loop rebuilds UNCONDITIONALLY and re-enters. The
+        round-4 cond probe (results/cond_rebuild_probe.py) measured the
+        chunk driver's data-dependent ``lax.cond`` costing ~0.015 ms/step
+        at 2D N=100k in state copies the accounting could not place —
+        while-loop carries alias in place, so this form has no branch to
+        copy through. Trajectory-equivalent to the chunk driver (same
+        windows, same gate cadence, same rebuilds — the only extra is one
+        trailing rebuild per call, amortized over ``n_steps``).
+        ``n_inner``/``gate_frac`` contract is :meth:`auto_chunk_params`'s."""
+        assert n_steps % n_inner == 0, (n_steps, n_inner)
+        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
+
+        def run(s: GridMDState) -> GridMDState:
+            def inner_cond(c):
+                t, done = c
+                return (done < n_steps) & ~self._needs_rebuild(t, frac=gate_frac)
+
+            def inner_body(c):
+                t, done = c
+                return window(t), done + n_inner
+
+            def outer_body(c):
+                c = jax.lax.while_loop(inner_cond, inner_body, c)
+                t, done = c
+                return self._rebuild_migrate(t), done
+
+            def outer_cond(c):
+                return c[1] < n_steps
+
+            s, _ = jax.lax.while_loop(
+                outer_cond, outer_body, (s, jnp.zeros((), jnp.int32))
+            )
+            return s
+
+        return run
 
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized TOGETHER: the highest rebuild gate

@@ -87,6 +87,8 @@ class GridMD3:
         dt: float = 1e-3,
         interpret: Optional[bool] = None,
         compensated: bool = False,
+        a_chunk: Optional[int] = None,
+        b_chunk: Optional[int] = None,
     ):
         assert grid_fn.dim == 3, "GridMD3 is 3D (grid_md.GridMD covers 2D)"
         self.compensated = compensated
@@ -104,10 +106,12 @@ class GridMD3:
         self._interpret = interpret
         self._migrate_cache = {}
         self.force_kernel = make_grid_force_kernel3(
-            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret
+            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+            a_chunk=a_chunk, b_chunk=b_chunk,
         )
         self.energy_kernel = make_grid_force_kernel3(
-            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret, with_energy=True
+            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+            with_energy=True, a_chunk=a_chunk, b_chunk=b_chunk,
         )
 
     # -- layout helpers ------------------------------------------------------
@@ -256,6 +260,12 @@ class GridMD3:
         dxc = jnp.where(moved_far, 0, dxc)
         dyc = jnp.where(moved_far, 0, dyc)
         dzc = jnp.where(moved_far, 0, dzc)
+        # re-derive target coords from the CLAMPED directions: dest must stay
+        # consistent with the slot allocation even in flagged states (see the
+        # 2D twin in grid_md._migration_dest)
+        txc = (cx + dxc) % cps
+        tyc = (cy + dyc) % cps
+        tzc = (cz + dzc) % cps
 
         def roll_cells(v, dx, dy, dz):
             if dx:
@@ -634,6 +644,39 @@ class GridMD3:
             return window(s)
 
         return chunk
+
+    def make_production_run(
+        self, n_steps: int, n_inner: int, gate_frac: float = 0.25, thermostat=None
+    ):
+        """Cond-free nested-while production driver — 3D twin of
+        grid_md.GridMD.make_production_run (see there for the measured
+        rationale and the exact-step/trailing-rebuild contract)."""
+        assert n_steps % n_inner == 0, (n_steps, n_inner)
+        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
+
+        def run(s: GridMD3State) -> GridMD3State:
+            def inner_cond(c):
+                t, done = c
+                return (done < n_steps) & ~self._needs_rebuild(t, frac=gate_frac)
+
+            def inner_body(c):
+                t, done = c
+                return window(t), done + n_inner
+
+            def outer_body(c):
+                c = jax.lax.while_loop(inner_cond, inner_body, c)
+                t, done = c
+                return self._rebuild_migrate(t), done
+
+            def outer_cond(c):
+                return c[1] < n_steps
+
+            s, _ = jax.lax.while_loop(
+                outer_cond, outer_body, (s, jnp.zeros((), jnp.int32))
+            )
+            return s
+
+        return run
 
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized together — see

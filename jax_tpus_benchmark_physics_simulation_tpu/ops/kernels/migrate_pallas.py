@@ -185,9 +185,13 @@ def make_migrate_kernel(
         out_shape=[out_struct] * n_fields,
         interpret=interpret,
         cost_estimate=cost,
-        # Mosaic's conservative stack-liveness puts this kernel's scoped
-        # allocation at ~91 MB for the N=1M grid (lanes 2816, F=11); the
-        # v5e chip has 128 MB VMEM and nothing else lives during the call.
+        # Mosaic's conservative stack-liveness put the pre-scode kernel's
+        # scoped allocation at ~91 MB for the N=1M grid (lanes 2816, F=11);
+        # the SOURCE-frame form adds 3 scode input blocks + one hoisted int32
+        # probe plane per direction (~+4 MB at that size). The v5e chip has
+        # 128 MB VMEM and nothing else lives during the call — the committed
+        # N=1M re-measurement (2.99 ms hot rebuild, results/RESULTS.md
+        # "Scatter-free rebuild") ran inside this limit.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024
         ),

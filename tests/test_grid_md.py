@@ -56,6 +56,35 @@ class TestGridMD:
             np.asarray(md.positions(gs)), np.asarray(s.position), rtol=1e-3, atol=1e-3
         )
 
+    def test_production_run_matches_chunk_driver(self):
+        """The cond-free nested-while driver (make_production_run) is
+        trajectory-identical to the chunked cond driver: same windows, same
+        gate cadence, same rebuilds — only the trailing rebuild differs,
+        which permutes slots but not per-pid physics."""
+        n, dt = 400, 2e-3
+        box, pos, vel, md = setup(n=n, rho=0.5, dt=dt, kt=1.0)
+        k, gate = 10, 0.25
+        chunk = md.make_chunk_step(k, gate_frac=gate)
+        run = md.make_production_run(300, k, gate_frac=gate)
+
+        gs_c = jax.jit(
+            lambda s: jax.lax.fori_loop(0, 30, lambda i, t: chunk(t), s)
+        )(md.init(pos, vel))
+        gs_p = jax.jit(run)(md.init(pos, vel))
+        assert not bool(gs_c.overflow) and not bool(gs_p.overflow)
+
+        # per-pid positions (mod box: the trailing rebuild wraps coords)
+        pc = np.mod(np.asarray(md.positions(gs_c)), box)
+        pp = np.mod(np.asarray(md.positions(gs_p)), box)
+        d = np.abs(pc - pp)
+        d = np.minimum(d, box - d)  # periodic distance
+        np.testing.assert_allclose(d, 0.0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(md.velocities(gs_c)),
+            np.asarray(md.velocities(gs_p)),
+            atol=1e-6,
+        )
+
     def test_migration_rebuild_matches_sort_rebuild(self):
         box, pos, vel, md = setup(seed=4)
         gs = md.init(pos, vel)
