@@ -88,11 +88,33 @@ def bench_grid_md(n, steps=400, repeats=3):
         s = jax.lax.fori_loop(0, n_chunks, lambda i, t: chunk(t), s)
         return s, md.kinetic_energy(s)
 
-    gs, ke = run(gs)
-    _ = float(ke)  # compile + equilibrate transient
-    gs, ke = run(gs)
+    # Equilibration under the repo's recommended rescaling protocol
+    # (lj_fluid / CLAUDE.md): the lattice melt self-heats, so the melt
+    # windows are SIZED for the hot transient (auto_chunk_params at an
+    # elevated kT -> shorter windows, tighter gate) and velocities are
+    # rescaled back to kT=1 between bursts. The skin-violation flag is
+    # never cleared — it must stay False from init through the timed runs
+    # (it is asserted below on the final state).
+    k_eq, gate_eq = md.auto_chunk_params(kt=4.0)
+    chunk_eq = md.make_chunk_step(k_eq, gate_frac=gate_eq)
+
+    @jax.jit
+    def equil_burst(s):
+        s = jax.lax.fori_loop(0, max(1, 200 // k_eq), lambda i, t: chunk_eq(t), s)
+        return s, md.kinetic_energy(s)
+
+    for _ in range(4):
+        gs, ke = equil_burst(gs)
+        scale = float(np.sqrt(1.0 * n / float(ke)))  # kT = KE/(dof/2), dof=2N
+        comp = (
+            dict(cvx=jnp.zeros_like(gs.cvx), cvy=jnp.zeros_like(gs.cvy))
+            if gs.cvx is not None
+            else {}
+        )
+        gs = gs.replace(vxg=gs.vxg * scale, vyg=gs.vyg * scale, **comp)
+    gs, ke = run(gs)  # compile the production chunk + settle at kT~1
     _ = float(ke)
-    gs = gs.replace(overflow=jnp.zeros((), bool))  # clear transient-era flag
+    assert not bool(gs.overflow), "violation during equilibration (melt windows)"
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

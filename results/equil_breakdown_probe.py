@@ -50,10 +50,10 @@ print(f"null-dispatch latency: {LAT * 1e3:.2f} ms (subtracted)")
 
 def timed(fn, state, reps=3):
     out = fn(state)
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, out
-    )
-    # hard scalar sync on one leaf
+    # hard scalar sync on one leaf: block_until_ready alone can return early
+    # over the axon tunnel (CLAUDE.md), which would leave the warm call's
+    # tail inside rep 1's timed segment — the async-dispatch 2x artifact class
+    _ = float(jnp.sum(out[0].xg if hasattr(out[0], "xg") else out[0]))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
