@@ -80,12 +80,16 @@ def bench_grid_md(n, steps=400, repeats=3):
     gs = md.init(pos, vel)
 
     k, gate = md.auto_chunk_params(kt=1.0)
-    chunk = md.make_chunk_step(k, gate_frac=gate)
     n_chunks = max(1, steps // k)
+    # cond-free nested-while driver: 612.8M vs the chunked cond driver's
+    # 566.9M psps at N=100k on the same equilibrated state
+    # (results/driver2d_probe.py — the data-dependent rebuild cond costs
+    # ~0.013 ms/step in state copies)
+    prod = md.make_production_run(n_chunks * k, k, gate_frac=gate)
 
     @jax.jit
     def run(s):
-        s = jax.lax.fori_loop(0, n_chunks, lambda i, t: chunk(t), s)
+        s = prod(s)
         return s, md.kinetic_energy(s)
 
     # Equilibration under the repo's recommended rescaling protocol
