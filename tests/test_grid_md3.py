@@ -91,6 +91,31 @@ class TestGridMD3:
             np.asarray(md.positions(gs)), np.asarray(s.position), rtol=1e-3, atol=1e-3
         )
 
+    def test_production_run_matches_chunk_driver(self):
+        """Cond-free nested-while driver == chunked cond driver, per pid
+        (3D twin of test_grid_md's parity test)."""
+        box, pos, vel, md = setup(n=1000, dt=2e-3, kt=1.0)
+        k, gate = 10, 0.25
+        chunk = md.make_chunk_step(k, gate_frac=gate)
+        run = md.make_production_run(200, k, gate_frac=gate)
+
+        gs_c = jax.jit(
+            lambda s: jax.lax.fori_loop(0, 20, lambda i, t: chunk(t), s)
+        )(md.init(pos, vel))
+        gs_p = jax.jit(run)(md.init(pos, vel))
+        assert not bool(gs_c.overflow) and not bool(gs_p.overflow)
+
+        pc = np.mod(np.asarray(md.positions(gs_c)), box)
+        pp = np.mod(np.asarray(md.positions(gs_p)), box)
+        d = np.abs(pc - pp)
+        d = np.minimum(d, box - d)
+        np.testing.assert_allclose(d, 0.0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(md.velocities(gs_c)),
+            np.asarray(md.velocities(gs_p)),
+            atol=1e-6,
+        )
+
     def test_migration_rebuild_matches_sort_rebuild(self):
         box, pos, vel, md = setup(seed=4)
         gs = md.init(pos, vel)
