@@ -377,9 +377,20 @@ def compute_core_candidates(max_cores: int, available: Optional[int] = None) -> 
     return sorted(c for c in cand if 0 < c <= available)
 
 
-def run_sweep(cfg: BenchConfig, log: Callable[[str], None] = print) -> List[dict]:
+def run_sweep(
+    cfg: BenchConfig,
+    log: Callable[[str], None] = print,
+    emit: Optional[Callable[[str, dict], None]] = None,
+    skip: Optional[set] = None,
+) -> List[dict]:
     """Full sweep over core counts x ops, with KeyboardInterrupt salvage
-    (reference :696-703)."""
+    (reference :696-703).
+
+    ``emit(kind, payload)``: progress protocol hook for the crash-isolated
+    sweep (bench/isolate.py) — ``begin`` fires BEFORE each op so a TPU
+    worker crash can be attributed to the op that was running; ``result`` /
+    ``skipped`` fire after. ``skip``: set of ``(cores, op_name)`` pairs to
+    not run (already completed or crashed in a previous worker process)."""
     ctx = BenchContext(cfg, log)
     available = jax.device_count()
     max_cores = cfg.max_cores if cfg.max_cores > 0 else available
@@ -395,14 +406,23 @@ def run_sweep(cfg: BenchConfig, log: Callable[[str], None] = print) -> List[dict
                 f"{[name for name, _ in ALL_BENCHMARKS]}"
             )
         benches = [(n, b) for n, b in ALL_BENCHMARKS if n.lower() in wanted]
+    skip = skip or set()
     results: List[dict] = []
     try:
         for cores in compute_core_candidates(max_cores, available):
             log(f"[bench] === {cores} device(s) ===")
             for _name, bench in benches:
+                if (cores, _name) in skip:
+                    continue
+                if emit:
+                    emit("begin", {"cores": cores, "op": _name})
                 res = bench(ctx, cores)
                 if res:
                     results.append(res)
+                    if emit:
+                        emit("result", {"cores": cores, "op": _name, "row": res})
+                elif emit:
+                    emit("skipped", {"cores": cores, "op": _name})
     except KeyboardInterrupt:
         log("[bench] interrupted — salvaging partial results")
     return results

@@ -57,10 +57,19 @@ def _add_bench(sub):
     p.add_argument("-m", "--steps", type=int, default=2500)
     p.add_argument("-mxs", "--matrix_size", type=int, default=4096)
     p.add_argument("-md", "--matrix_depth", type=int, default=6)
-    p.add_argument("-c", "--conv_size", type=int, default=128)
+    p.add_argument("-c", "--conv_size", type=int, default=128,
+                   help="conv input H=W. NOTE: the conv defaults here "
+                   "(-c 128 -b 64 --conv_cin 32) are a compute-bound sizing, "
+                   "deliberately different from the reference's latency-bound "
+                   "-c 64 -b 8 cin=3 (tpus_benchmark...:33-34,141-155); pass "
+                   "--reference-conv for the reference's exact sizing")
     p.add_argument("-b", "--batch_size", type=int, default=64)
     p.add_argument("--conv_cin", type=int, default=32)
     p.add_argument("--conv_cout", type=int, default=64)
+    p.add_argument("--reference-conv", action="store_true",
+                   help="use the reference's conv sizing (-c 64 -b 8 "
+                   "--conv_cin 3 --conv_cout 64) instead of the "
+                   "compute-bound defaults")
     p.add_argument("--precision", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--max_cores", type=int, default=0)
     p.add_argument("--csv", type=str, default=None)
@@ -76,6 +85,11 @@ def _add_bench(sub):
                    help="display figures interactively (reference plt.show() parity)")
     p.add_argument("--manifest", type=str, default="bench_run_manifest.json",
                    help="run-manifest JSON path ('' to disable)")
+    p.add_argument("--no-isolate", action="store_true",
+                   help="run the sweep in-process instead of the default "
+                   "crash-isolated worker subprocess (which survives "
+                   "TPU-worker-killing ops, e.g. 3D_FFT at 4096^2 x 6 on "
+                   "some remote backends, with a loud failure row)")
 
 
 def _add_md(sub):
@@ -210,17 +224,15 @@ def _add_vmc(sub):
 
 
 def cmd_bench(args) -> int:
-    from jax_tpus_benchmark_physics_simulation_tpu.bench import (
-        device_rows,
-        run_sweep,
-        system_info,
-    )
     from jax_tpus_benchmark_physics_simulation_tpu.report.export import write_csv
     from jax_tpus_benchmark_physics_simulation_tpu.utils.deps import check_dependencies
 
     check_dependencies()
-    console.kv_table("System Information", system_info())
-    console.records_table("JAX Devices", device_rows())
+
+    if getattr(args, "reference_conv", False):
+        # the reference's exact conv sizing (tpus_benchmark...:33-34,141-155)
+        args.conv_size, args.batch_size = 64, 8
+        args.conv_cin, args.conv_cout = 3, 64
 
     cfg = cfgs.BenchConfig(
         warmup=max(0, args.warmup),
@@ -238,24 +250,51 @@ def cmd_bench(args) -> int:
         if args.ops
         else None,
     )
-    results = run_sweep(cfg, log=console.log)
+    if args.no_isolate:
+        # in-process sweep (reference-style); a TPU-worker-killing op takes
+        # the whole sweep down with it
+        from jax_tpus_benchmark_physics_simulation_tpu.bench import (
+            device_rows,
+            run_sweep,
+            system_info,
+        )
+
+        console.kv_table("System Information", system_info())
+        console.records_table("JAX Devices", device_rows())
+        results = run_sweep(cfg, log=console.log)
+    else:
+        # default: the sweep runs in a worker subprocess; this process never
+        # initializes a JAX backend (the remote-tunnel TPU allows exactly
+        # one client), and a worker crash costs one loud failure row, not
+        # the sweep (VERDICT r3 next-item 2)
+        from jax_tpus_benchmark_physics_simulation_tpu.bench.isolate import (
+            run_sweep_isolated,
+        )
+
+        results, sysinfo, devrows = run_sweep_isolated(cfg, log=console.log)
+        if sysinfo:
+            console.kv_table("System Information", sysinfo)
+        if devrows:
+            console.records_table("JAX Devices", devrows)
     if not results:
         console.log("[yellow]No benchmark results collected.[/yellow]")
         return 1
     console.records_table(
         "Benchmark Results",
         results,
-        ["test", "cores", "tflops", "xla_tflops", "bandwidth_gbs", "xla_gbs", "avg_ms"],
+        ["test", "cores", "tflops", "xla_tflops", "bandwidth_gbs", "xla_gbs",
+         "avg_ms", "error"],
     )
     if args.csv:
         write_csv(results, args.csv, append=args.csv_append)
         console.log(f"CSV written: {args.csv}")
-    if not args.no_plot and args.plot:
+    ok_rows = [r for r in results if "error" not in r]
+    if not args.no_plot and args.plot and ok_rows:
         from jax_tpus_benchmark_physics_simulation_tpu.report.plots import (
             plot_benchmark_results,
         )
 
-        out = plot_benchmark_results(results, args.plot, show=args.show)
+        out = plot_benchmark_results(ok_rows, args.plot, show=args.show)
         console.log(f"Plot saved: {out}")
     _write_manifest(args, "bench", cfg, {"results": results})
     return 0
