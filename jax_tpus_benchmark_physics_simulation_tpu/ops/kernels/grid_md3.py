@@ -89,9 +89,15 @@ class GridMD3:
         compensated: bool = False,
         a_chunk: Optional[int] = None,
         b_chunk: Optional[int] = None,
+        migrate_compact: bool = True,
+        migrate_k_mov: int = 16,
     ):
         assert grid_fn.dim == 3, "GridMD3 is 3D (grid_md.GridMD covers 2D)"
         self.compensated = compensated
+        # rebuild-permutation variant: compacted-mover kernel (default) vs
+        # the flat parity oracle — see migrate_pallas3's module docstring
+        self.migrate_compact = migrate_compact
+        self.migrate_k_mov = migrate_k_mov
         self.grid_fn = grid_fn
         self.cps = grid_fn.cells_per_side
         self.cap = grid_fn.capacity
@@ -353,7 +359,9 @@ class GridMD3:
             )
 
             cached = make_migrate_kernel3(
-                self.cps, self.cap, n_fields, fills, interpret=self._interpret
+                self.cps, self.cap, n_fields, fills,
+                interpret=self._interpret,
+                compact=self.migrate_compact, k_mov=self.migrate_k_mov,
             )
             self._migrate_cache[key] = cached
         return cached
@@ -384,8 +392,9 @@ class GridMD3:
         if s.crx is not None:
             fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
             fills += [0.0] * 6
-        out = self._migrate_call(len(fields), fills)(
-            s.max_occ, scode, *fields
+        new_mo = self._max_occ(occ_new)
+        out, mov_of = self._migrate_call(len(fields), fills)(
+            s.max_occ, new_mo, scode, *fields
         )
 
         zeros = jnp.zeros(gs, dtype)
@@ -403,8 +412,10 @@ class GridMD3:
             pid=out[9].astype(jnp.int32),
             dispx=zeros, dispy=zeros, dispz=zeros,
             dmax2=jnp.zeros((), dtype),
-            overflow=overflow,
-            max_occ=self._max_occ(occ_new),
+            # mov_of: a cell exceeded the mover-compaction capacity (k_mov)
+            # and the permutation dropped particles — NEVER silent
+            overflow=overflow | mov_of,
+            max_occ=new_mo,
             **comp,
         )
 

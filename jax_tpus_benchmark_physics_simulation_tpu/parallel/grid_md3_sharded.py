@@ -68,7 +68,8 @@ class ShardedGridMD3(GridMD3):
             fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
             fills += [0.0] * 6
 
-        migrate_raw = self._migrate_call_local(len(fields), fills).raw
+        migrate = self._migrate_call_local(len(fields), fills)
+        new_mo = self._max_occ(occ_new)
         ax, p = self.axis_name, self.n_shards
         fwd = [(i, (i - 1) % p) for i in range(p)]  # receive right nbr's 1st row
         bwd = [(i, (i + 1) % p) for i in range(p)]  # receive left nbr's last row
@@ -82,25 +83,29 @@ class ShardedGridMD3(GridMD3):
             )
             return prev, nxt
 
-        def local_migrate(mo, code, *fs):
-            cprev, cnext = halo(code)
-            halos = [halo(f) for f in fs]
-            return migrate_raw(
-                mo,
-                (cprev, code, cnext),
-                [h[0] for h in halos],
-                list(fs),
-                [h[1] for h in halos],
+        def local_migrate(mo, nmo, code, *fs):
+            # compact BEFORE the exchange: only the (K, P) mover planes
+            # cross shard boundaries (the stay direction never leaves its
+            # x-row), so the halo is k_mov rows instead of cap rows
+            ccode, cfs, _cnt, mov_of = migrate.compact_fields(code, list(fs))
+            cprev, cnext = halo(ccode)
+            halos = [halo(cf) for cf in cfs]
+            out = migrate.raw(
+                mo, nmo, code, list(fs),
+                (cprev, ccode, cnext),
+                ([h[0] for h in halos], cfs, [h[1] for h in halos]),
             )
+            return out + (lax.pmax(mov_of.astype(jnp.int32), ax),)
 
         arr = P(self.axis_name)
         out = jax.shard_map(
             local_migrate,
             mesh=self.mesh,
-            in_specs=(P(),) + (arr,) * (1 + len(fields)),
-            out_specs=(arr,) * len(fields),
+            in_specs=(P(), P()) + (arr,) * (1 + len(fields)),
+            out_specs=(arr,) * len(fields) + (P(),),
             check_vma=False,
-        )(s.max_occ, scode, *fields)
+        )(s.max_occ, new_mo, scode, *fields)
+        mov_of = out[-1] > 0
 
         zeros = jnp.zeros(gs, dtype)
         comp = (
@@ -117,8 +122,8 @@ class ShardedGridMD3(GridMD3):
             pid=out[9].astype(jnp.int32),
             dispx=zeros, dispy=zeros, dispz=zeros,
             dmax2=jnp.zeros((), dtype),
-            overflow=overflow,
-            max_occ=self._max_occ(occ_new),
+            overflow=overflow | mov_of,
+            max_occ=new_mo,
             **comp,
         )
 
@@ -131,9 +136,12 @@ class ShardedGridMD3(GridMD3):
                 make_migrate_kernel3,
             )
 
+            # the sharded rebuild requires the compact build (.raw's
+            # explicit-halo mode exchanges K-row compact planes only)
             cached = make_migrate_kernel3(
                 self.cps, self.cap, n_fields, fills,
                 interpret=self._interpret, n_rows=self.rows_local,
+                compact=True, k_mov=self.migrate_k_mov,
             )
             self._migrate_cache[key] = cached
         return cached
