@@ -37,7 +37,13 @@ class MDConfig:
     rdf_dr: float = 0.05  # molecular_dynamics...:157
     init: str = "uniform"  # uniform (reference, molecular_dynamics...:134) | lattice
     remove_com_drift: bool = False  # reference never removes COM drift
-    skin: float = 0.4  # Verlet skin for the neighbor-list path
+    # Verlet skin. None = auto: 0.4 for the 2D/list paths (measured gate
+    # optimum, results/gate_tuning_probe.py); the 3D grid engine instead
+    # picks the DENSEST cell geometry with skin >= ~0.1 (cps19 vs the old
+    # cps17 at N=100k: 118.7 vs 105.6M psps once the compacted-mover
+    # rebuild made thin skins cheap — results/RESULTS.md "Round 4").
+    # An explicit float pins the geometry everywhere.
+    skin: Optional[float] = None
     pallas_block: int = 256  # tile size for the dense Pallas kernel
     # Kahan-compensated integration (grid path): kills the f32 secular energy
     # drift (measured 7.3e-3 -> ~1e-6 over 1M steps at N=100k) for ~25% step

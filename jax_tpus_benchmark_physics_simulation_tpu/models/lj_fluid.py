@@ -76,10 +76,52 @@ def make_potential(cfg: MDConfig) -> LennardJones:
     )
 
 
+SKIN_DEFAULT = 0.4  # measured 2D/list-path gate optimum
+
+
+def resolve_skin(
+    cfg: MDConfig, impl: Optional[str] = None, n_devices: Optional[int] = None
+) -> float:
+    """Concrete Verlet skin for ``cfg`` (``cfg.skin`` unless it is None).
+
+    Auto policy: 0.4 everywhere except the 3D grid engine, where the
+    compacted-mover rebuild (ops/kernels/migrate_pallas3.py) made thin
+    skins cheap enough that the DENSEST cell geometry wins end to end
+    (results/geom3_probe.py: cps19/skin 0.13 at 118.7M psps vs the
+    cps17/skin 0.40 default's 105.6M at N=100k). Picks the largest
+    cells-per-side with skin >= max(0.1, 80*sqrt(kT)*dt) (the dynamic
+    floor keeps the rebuild cadence ``auto_chunk_params`` computes >= 1
+    step), rounded down to a multiple of ``n_devices`` so the sharded
+    x-slab engine stays available, and never coarser than the 0.4-skin
+    geometry the same rounding would give."""
+    if cfg.skin is not None:
+        return cfg.skin
+    if impl is None:
+        impl = resolve_impl(cfg)
+    if impl != "grid" or cfg.dim != 3 or cfg.cutoff is None:
+        return SKIN_DEFAULT
+    if n_devices is None:
+        n_devices = jax.device_count()
+    box = cfg.box_size
+    floor = max(0.1, 80.0 * cfg.kt**0.5 * cfg.dt)
+
+    def _cps(skin: float) -> int:
+        c = int(box / (cfg.cutoff + skin))
+        if n_devices > 1 and c >= n_devices:
+            c -= c % n_devices
+        return c
+
+    cps = max(_cps(floor), _cps(SKIN_DEFAULT))
+    if cps < 3:
+        return SKIN_DEFAULT
+    return box / cps - cfg.cutoff
+
+
 def resolve_impl(cfg: MDConfig) -> str:
     impl = cfg.force_impl
     if impl == "auto":
-        cps = 0 if cfg.cutoff is None else int(cfg.box_size / (cfg.cutoff + cfg.skin))
+        skin0 = cfg.skin if cfg.skin is not None else SKIN_DEFAULT
+        cps = 0 if cfg.cutoff is None else int(cfg.box_size / (cfg.cutoff + skin0))
         if cfg.cutoff is not None and cfg.n >= 4096 and cps >= 3:
             # grid-resident Pallas MD (fastest; 2D and 3D engines)
             impl = "grid" if cfg.dim in (2, 3) else "cell"
@@ -102,11 +144,12 @@ def _make_grid_md(cfg: MDConfig):
     )
     from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md import GridMD
 
+    n_dev = jax.device_count()
     gf = make_cell_grid_fn(
-        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
+        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim,
+        skin=resolve_skin(cfg, "grid", n_dev), rho=cfg.rho,
     )
     kw = dict(sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt, compensated=cfg.compensated)
-    n_dev = jax.device_count()
     if cfg.dim == 3:
         from jax_tpus_benchmark_physics_simulation_tpu.ops.kernels.grid_md3 import (
             GridMD3,
@@ -234,7 +277,8 @@ def _make_list_force(cfg: MDConfig, impl: str):
         )
 
         nf = make_neighbor_fn(
-            cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
+            cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim,
+            skin=resolve_skin(cfg, impl), rho=cfg.rho,
         )
         return nf, make_lj_force_neighbor(nf, sigma=cfg.sigma, epsilon=cfg.epsilon)
 
@@ -244,7 +288,8 @@ def _make_list_force(cfg: MDConfig, impl: str):
     )
 
     gf = make_cell_grid_fn(
-        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
+        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim,
+        skin=resolve_skin(cfg, impl), rho=cfg.rho,
     )
     return gf, make_lj_force_cell_dense(gf, sigma=cfg.sigma, epsilon=cfg.epsilon)
 

@@ -383,8 +383,15 @@ def make_grid_force_kernel3(
         # b=8 (partner-triple builds + per-chunk ref RMWs halve) and beats
         # b=cap (dynamic occupancy bound covers 32 not 40+ partner rows);
         # when 16 doesn't divide the capacity, b=cap beat b=8 — fall back
-        # to the full-span partner axis, not to finer chunks.
-        b_chunk = 16 if cap % 16 == 0 else cap
+        # to the full-span partner axis, not to finer chunks. At cap <= 32
+        # (the dense cps19-class geometries) b=8 wins instead: the
+        # occupancy bound covers 24 partner rows where b=16 must cover the
+        # full 32 (results/geom3_probe.py: 0.691 vs 0.758 ms/step windows
+        # at N=100k cps19).
+        if cap <= 32:
+            b_chunk = 8 if cap % 8 == 0 else cap
+        else:
+            b_chunk = 16 if cap % 16 == 0 else cap
     assert cap % b_chunk == 0, f"b_chunk {b_chunk} must divide capacity {cap}"
     assert b_chunk % 8 == 0 or b_chunk == cap, (
         f"b_chunk {b_chunk} must be 8-aligned (sublane slicing)"

@@ -34,8 +34,11 @@ from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
 
 
 def _build_engine(cfg: MDConfig, n_devices: int):
+    skin = cfg.skin
+    if skin is None:  # md_scaling_sweep materializes; direct callers may not
+        skin = lj_fluid.resolve_skin(cfg, "grid", n_devices=n_devices)
     gf = make_cell_grid_fn(
-        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=cfg.skin, rho=cfg.rho
+        cfg.box_size, cfg.cutoff, cfg.n, dim=cfg.dim, skin=skin, rho=cfg.rho
     )
     kw = dict(sigma=cfg.sigma, epsilon=cfg.epsilon, dt=cfg.dt, compensated=cfg.compensated)
     if cfg.dim == 3:
@@ -84,15 +87,25 @@ def _time_steps(md, gs, n_inner: int, n_chunks: int, repeats: int = 3,
     return best
 
 
-def _round_to_divisible_n(n: int, cfg: MDConfig, devices: List[int]) -> int:
-    """Largest n' <= n whose cell-row count divides every mesh size (keeps
-    all strong-scaling points valid)."""
+def _lcm(devices: List[int]) -> int:
     import math
 
     lcm = 1
     for d in devices:
         lcm = lcm * d // math.gcd(lcm, d)
-    cell = cfg.cutoff + cfg.skin
+    return lcm
+
+
+def _round_to_divisible_n(n: int, cfg: MDConfig, devices: List[int]) -> int:
+    """Largest n' <= n whose cell-row count divides every mesh size (keeps
+    all strong-scaling points valid)."""
+    lcm = _lcm(devices)
+    skin = cfg.skin
+    if skin is None:
+        skin = lj_fluid.resolve_skin(
+            override(cfg, n=n), "grid", n_devices=lcm
+        )
+    cell = cfg.cutoff + skin
     box = (n / cfg.rho) ** (1.0 / cfg.dim)
     cps = int(box / cell)
     cps -= cps % lcm
@@ -128,6 +141,12 @@ def md_scaling_sweep(
         avail = jax.device_count()
         devices = sorted({1} | {2**k for k in range(1, 10) if 2**k <= avail} | {avail})
     assert base.cutoff is not None, "mdscale requires a cutoff (grid engine)"
+    if base.skin is None:
+        # materialize the auto skin ONCE for the whole sweep: every point
+        # (and the 1-device parity re-run) must build the same geometry
+        base = override(
+            base, skin=lj_fluid.resolve_skin(base, "grid", n_devices=_lcm(devices))
+        )
     rows: List[dict] = []
     t_ref = None
     for d in devices:

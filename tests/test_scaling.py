@@ -10,7 +10,7 @@ from jax_tpus_benchmark_physics_simulation_tpu.parallel.scaling import (
 
 
 def test_round_to_divisible_n():
-    cfg = override(MDConfig(), cutoff=2.5, rho=0.5)
+    cfg = override(MDConfig(), cutoff=2.5, rho=0.5, skin=0.4)
     n = _round_to_divisible_n(8000, cfg, [1, 2, 4])
     cell = cfg.cutoff + cfg.skin
     box = (n / cfg.rho) ** 0.5
