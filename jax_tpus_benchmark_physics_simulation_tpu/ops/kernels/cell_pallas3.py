@@ -327,6 +327,209 @@ def _newton_kernel3(
         rw_ref[0] = jnp.where(live, rw_ref[0], zero_cp)
 
 
+def _static_kernel3(
+    *refs,
+    cap,
+    cov,
+    ncy,
+    ncz,
+    box,
+    cutoff2,
+    sigma2,
+    epsilon,
+    shift,
+    n_rows,
+    row_wrap,
+    with_energy,
+    a_chunk,
+    b_chunk,
+):
+    """Straight-line twin of _newton_kernel3 with a STATIC occupancy bound.
+
+    ``cov`` (a compile-time multiple of 8, <= cap) replaces the SMEM
+    ``max_occ`` operand: only slot rows < cov are covered, rows >= cov get
+    zero force (they must be sentinels — the engine raises ``overflow``
+    whenever a rebuild's max occupancy exceeds cov, so under-coverage is
+    never silent; see GridMD3(static_cov=...)). In exchange the kernel is
+    pure straight-line code — the chunk loops unroll at trace time, the 14
+    partner triples are built ONCE on (cov, lanes) value planes (static
+    value slices lower fine; only dynamic ones don't), accumulators are
+    values, and every ref is written exactly once. This removes the
+    dynamic-loop machinery (SMEM bound reads, fori carries of 6-10
+    (cb, lanes) arrays, per-chunk ref RMWs, per-b-chunk partner rebuilds)
+    that made the dynamic kernel ~25% slower per pair test than the 2D
+    kernel's straight-line structure (results/static_cov_probe.py).
+
+    Also carries the Horner fmag factoring: with t = s6/r2,
+    fmag = 24*eps*(2*s12 - s6)/r2 = t * fma(2*fscale, s6, -fscale) — one
+    VPU mul fewer per pair than the dynamic kernel's form.
+    """
+    if with_energy:
+        (xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
+         fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref,
+         e_ref, re_ref, w_ref, rw_ref) = refs
+    else:
+        (xs_ref, xn_ref, ys_ref, yn_ref, zs_ref, zn_ref,
+         fx_ref, fy_ref, fz_ref, rfx_ref, rfy_ref, rfz_ref) = refs
+        e_ref = re_ref = w_ref = rw_ref = None
+
+    lanes = xs_ref.shape[2]
+    xs = xs_ref[0, :cov]
+    ys = ys_ref[0, :cov]
+    zs = zs_ref[0, :cov]
+    xn = xn_ref[0, :cov]
+    yn = yn_ref[0, :cov]
+    zn = zn_ref[0, :cov]
+    if row_wrap:
+        pid = pl.program_id(0)
+        xn = xn + jnp.where(pid == n_rows - 1, box, 0.0).astype(jnp.float32)
+
+    fscale = 24.0 * epsilon / sigma2
+    ca, cb = a_chunk, b_chunk
+    na, nb = cov // ca, cov // cb
+    kk = (ca * cb, lanes)
+    sh3 = (ca, cb, lanes)
+    sub_a_loc = jax.lax.broadcasted_iota(jnp.int32, kk, 0) // cb
+    sub_b_loc = jax.lax.broadcasted_iota(jnp.int32, kk, 0) % cb
+
+    def partner(src_x, src_y, src_z, dy, dz):
+        return (
+            _shift_plane(src_x, dy, dz, ncy, ncz),
+            _shift_plane(src_y, dy, dz, ncy, ncz, delta_y=box),
+            _shift_plane(src_z, dy, dz, ncy, ncz, delta_z=box),
+        )
+
+    def unshift(v, dy, dz):
+        return _shift_plane(v, -dy, -dz, ncy, ncz)
+
+    def rep_b(v):
+        return jnp.broadcast_to(v[None, :, :], sh3).reshape(kk)
+
+    def rep_a(v):
+        return jnp.broadcast_to(v[:, None, :], sh3).reshape(kk)
+
+    # all 14 partner coordinate triples, hoisted (42 (cov, lanes) planes —
+    # ~1.5 MB at the cps19/N=100k scale)
+    blocks = [("self", xs, ys, zs, 0, 0)]
+    for _, dy, dz in _SAME_ROW:
+        px, py, pz = partner(xs, ys, zs, dy, dz)
+        blocks.append(("same", px, py, pz, dy, dz))
+    for _, dy, dz in _NEXT_ROW:
+        px, py, pz = partner(xn, yn, zn, dy, dz)
+        blocks.append(("next", px, py, pz, dy, dz))
+
+    za = jnp.zeros((ca, lanes), jnp.float32)
+    zb = jnp.zeros((cb, lanes), jnp.float32)
+    zcov = jnp.zeros((cov, lanes), jnp.float32)
+    # per-a-chunk self-force accumulators (values, concatenated at the end)
+    fa_x = [za] * na
+    fa_y = [za] * na
+    fa_z = [za] * na
+    ea_l = [za] * na if with_energy else None
+    wa_l = [za] * na if with_energy else None
+    # global b-side sums: same-row blocks fold into the self force (Newton
+    # minus), next-row blocks into the reaction output
+    gsx = gsy = gsz = zcov
+    gnx = gny = gnz = zcov
+    if with_energy:
+        gse = gsw = gne = gnw = zcov
+
+    x_i = [rep_a(xs[ci * ca:(ci + 1) * ca]) for ci in range(na)]
+    y_i = [rep_a(ys[ci * ca:(ci + 1) * ca]) for ci in range(na)]
+    z_i = [rep_a(zs[ci * ca:(ci + 1) * ca]) for ci in range(na)]
+
+    for kind, px, py, pz, dy, dz in blocks:
+        # this block's b-side sums, per b-chunk; unshifted ONCE per block
+        lbx = [zb] * nb
+        lby = [zb] * nb
+        lbz = [zb] * nb
+        lbe = [zb] * nb if with_energy else None
+        lbw = [zb] * nb if with_energy else None
+        for bj in range(nb):
+            b0 = bj * cb
+            pxb = rep_b(px[b0:b0 + cb])
+            pyb = rep_b(py[b0:b0 + cb])
+            pzb = rep_b(pz[b0:b0 + cb])
+            for ci in range(na):
+                a0 = ci * ca
+                if kind == "self" and a0 >= b0 + cb - 1:
+                    # a < b holds nowhere in this chunk pair: skip it
+                    continue
+                dx = x_i[ci] - pxb
+                dyy = y_i[ci] - pyb
+                dzz = z_i[ci] - pzb
+                r2 = dx * dx + dyy * dyy + dzz * dzz
+                valid = (r2 < cutoff2) & (r2 > 0.0)
+                if kind == "self":
+                    valid = valid & (sub_a_loc + a0 < sub_b_loc + b0)
+                inv = pl.reciprocal(r2, approx=True)
+                inv = inv * (2.0 - r2 * inv)
+                if sigma2 != 1.0:
+                    inv = sigma2 * inv
+                s6 = inv * inv * inv
+                t = s6 * inv
+                fmag = jnp.where(
+                    valid, t * (2.0 * fscale * s6 - fscale), 0.0
+                )
+                fxb = (fmag * dx).reshape(sh3)
+                fyb = (fmag * dyy).reshape(sh3)
+                fzb = (fmag * dzz).reshape(sh3)
+                fa_x[ci] = fa_x[ci] + jnp.sum(fxb, axis=1)
+                fa_y[ci] = fa_y[ci] + jnp.sum(fyb, axis=1)
+                fa_z[ci] = fa_z[ci] + jnp.sum(fzb, axis=1)
+                lbx[bj] = lbx[bj] + jnp.sum(fxb, axis=0)
+                lby[bj] = lby[bj] + jnp.sum(fyb, axis=0)
+                lbz[bj] = lbz[bj] + jnp.sum(fzb, axis=0)
+                if with_energy:
+                    s12 = s6 * s6
+                    ebk = jnp.where(
+                        valid, 4.0 * epsilon * (s12 - s6) - shift, 0.0
+                    ).reshape(sh3)
+                    ea_l[ci] = ea_l[ci] + jnp.sum(ebk, axis=1)
+                    wbk = jnp.where(valid, (2.0 * s12 - s6), 0.0).reshape(
+                        sh3
+                    ) * (fscale * sigma2)
+                    wa_l[ci] = wa_l[ci] + jnp.sum(wbk, axis=1)
+                    lbe[bj] = lbe[bj] + jnp.sum(ebk, axis=0)
+                    lbw[bj] = lbw[bj] + jnp.sum(wbk, axis=0)
+        bxp = unshift(jnp.concatenate(lbx, axis=0), dy, dz)
+        byp = unshift(jnp.concatenate(lby, axis=0), dy, dz)
+        bzp = unshift(jnp.concatenate(lbz, axis=0), dy, dz)
+        if kind != "next":
+            gsx, gsy, gsz = gsx + bxp, gsy + byp, gsz + bzp
+        else:
+            gnx, gny, gnz = gnx + bxp, gny + byp, gnz + bzp
+        if with_energy:
+            bep = unshift(jnp.concatenate(lbe, axis=0), dy, dz)
+            bwp = unshift(jnp.concatenate(lbw, axis=0), dy, dz)
+            if kind != "next":
+                gse, gsw = gse + bep, gsw + bwp
+            else:
+                gne, gnw = gne + bep, gnw + bwp
+
+    # assemble (cov, lanes) planes, zero padding lanes, pad rows >= cov
+    live = jax.lax.broadcasted_iota(jnp.int32, (cov, lanes), 1) < ncy * ncz
+    pad = (
+        None if cov == cap else jnp.zeros((cap - cov, lanes), jnp.float32)
+    )
+
+    def store(ref, v):
+        v = jnp.where(live, v, 0.0)
+        ref[0] = v if pad is None else jnp.concatenate([v, pad], axis=0)
+
+    store(fx_ref, jnp.concatenate(fa_x, axis=0) - gsx)
+    store(fy_ref, jnp.concatenate(fa_y, axis=0) - gsy)
+    store(fz_ref, jnp.concatenate(fa_z, axis=0) - gsz)
+    store(rfx_ref, -gnx)
+    store(rfy_ref, -gny)
+    store(rfz_ref, -gnz)
+    if with_energy:
+        store(e_ref, jnp.concatenate(ea_l, axis=0) + gse)
+        store(re_ref, gne)
+        store(w_ref, jnp.concatenate(wa_l, axis=0) + gsw)
+        store(rw_ref, gnw)
+
+
 def make_grid_force_kernel3(
     grid_fn: CellGridFn,
     sigma: float = 1.0,
@@ -336,11 +539,18 @@ def make_grid_force_kernel3(
     a_chunk: Optional[int] = None,
     b_chunk: Optional[int] = None,
     n_rows: Optional[int] = None,
+    static_cov: Optional[int] = None,
 ):
     """3D grid-level entry point: ``(xg, yg, zg) -> (fx, fy, fz)`` (or
     ``(..., e, w)``) on the packed (ncx, C, P) layout with x-sentinels at empty
     slots. Forces are reaction-folded totals. See the module docstring;
     2D counterpart: cell_pallas.make_grid_force_kernel.
+
+    ``static_cov``: compile-time occupancy bound (multiple of 8, <= cap) —
+    emits the straight-line _static_kernel3 instead of the dynamic-bound
+    kernel. The returned callables keep the same signature (``max_occ`` is
+    accepted and ignored); the CALLER must guarantee max occupancy <= cov
+    (GridMD3(static_cov=...) raises its overflow flag otherwise).
 
     ``a_chunk``: self-capacity rows per VMEM chunk (must divide C; default
     targets ~1 MB pair-block temporaries). ``b_chunk``: partner-capacity
@@ -366,6 +576,11 @@ def make_grid_force_kernel3(
         grid_fn.cutoff,
     )
     lanes = _round_up(cps * cps, 128)
+    if static_cov is not None:
+        assert static_cov <= cap and (
+            static_cov % 8 == 0 or static_cov == cap
+        ), f"static_cov {static_cov} must be an 8-multiple <= capacity {cap}"
+    chunk_span = cap if static_cov is None else static_cov
     if a_chunk is None:
         # measured-fastest (results/md3_chunk_sweep.py): the finest 8-row
         # self chunks — (8,16) beat (16,16) at cap 48 and every coarser
@@ -373,9 +588,11 @@ def make_grid_force_kernel3(
         # to the tightest multiple of 8 >= max_occ. Must be a multiple of 8:
         # Mosaic requires dynamic sublane starts provably 8-aligned (the
         # kernel slices the capacity axis at a_chunk strides).
-        a_chunk = 8 if cap % 8 == 0 else cap
-    assert cap % a_chunk == 0, f"a_chunk {a_chunk} must divide capacity {cap}"
-    assert a_chunk % 8 == 0 or a_chunk == cap, (
+        a_chunk = 8 if chunk_span % 8 == 0 else chunk_span
+    assert chunk_span % a_chunk == 0, (
+        f"a_chunk {a_chunk} must divide the chunk span {chunk_span}"
+    )
+    assert a_chunk % 8 == 0 or a_chunk == chunk_span, (
         f"a_chunk {a_chunk} must be 8-aligned (sublane slicing)"
     )
     if b_chunk is None:
@@ -388,12 +605,14 @@ def make_grid_force_kernel3(
         # occupancy bound covers 24 partner rows where b=16 must cover the
         # full 32 (results/geom3_probe.py: 0.691 vs 0.758 ms/step windows
         # at N=100k cps19).
-        if cap <= 32:
-            b_chunk = 8 if cap % 8 == 0 else cap
+        if chunk_span <= 32:
+            b_chunk = 8 if chunk_span % 8 == 0 else chunk_span
         else:
-            b_chunk = 16 if cap % 16 == 0 else cap
-    assert cap % b_chunk == 0, f"b_chunk {b_chunk} must divide capacity {cap}"
-    assert b_chunk % 8 == 0 or b_chunk == cap, (
+            b_chunk = 16 if chunk_span % 16 == 0 else chunk_span
+    assert chunk_span % b_chunk == 0, (
+        f"b_chunk {b_chunk} must divide the chunk span {chunk_span}"
+    )
+    assert b_chunk % 8 == 0 or b_chunk == chunk_span, (
         f"b_chunk {b_chunk} must be 8-aligned (sublane slicing)"
     )
 
@@ -423,7 +642,7 @@ def make_grid_force_kernel3(
     next_blk = block(lambda i: ((i + 1) % rows, 0, 0))
     out_struct = jax.ShapeDtypeStruct((rows, cap, lanes), jnp.float32)
     cost = pl.CostEstimate(
-        flops=rows * 14 * cap * cap * lanes * 25,
+        flops=rows * 14 * chunk_span * chunk_span * lanes * 25,
         bytes_accessed=(6 + n_out) * rows * cap * lanes * 4,
         transcendentals=0,
     )
@@ -435,7 +654,16 @@ def make_grid_force_kernel3(
         index map, reaction rows written at their destination row. Raw
         (sharded) mode takes explicit neighbor arrays, returns unshifted
         reactions."""
-        kernel = functools.partial(_newton_kernel3, row_wrap=row_wrap, **params)
+        if static_cov is None:
+            kernel = functools.partial(
+                _newton_kernel3, row_wrap=row_wrap, **params
+            )
+            lead_specs = [mo_spec]
+        else:
+            kernel = functools.partial(
+                _static_kernel3, row_wrap=row_wrap, cov=static_cov, **params
+            )
+            lead_specs = []
         n_blk = next_blk if shifted else self_blk
         out_specs = [self_blk] * 3 + [n_blk] * 3
         if with_energy:
@@ -443,7 +671,7 @@ def make_grid_force_kernel3(
         return pl.pallas_call(
             kernel,
             grid=(rows,),
-            in_specs=[mo_spec] + [self_blk, n_blk] * 3,
+            in_specs=lead_specs + [self_blk, n_blk] * 3,
             out_specs=out_specs,
             out_shape=[out_struct] * n_out,
             interpret=interpret,
@@ -463,7 +691,8 @@ def make_grid_force_kernel3(
         return jnp.asarray(max_occ, jnp.int32).reshape((1,))
 
     def grid_force(xg, yg, zg, max_occ=None):
-        out = fused_call(_mo_arr(max_occ), xg, xg, yg, yg, zg, zg)
+        lead = () if static_cov is not None else (_mo_arr(max_occ),)
+        out = fused_call(*lead, xg, xg, yg, yg, zg, zg)
         fx = out[0] + out[3]
         fy = out[1] + out[4]
         fz = out[2] + out[5]
@@ -474,7 +703,8 @@ def make_grid_force_kernel3(
     raw_call = build(row_wrap=False, shifted=False)
 
     def raw(xs, xn, ys, yn, zs, zn, max_occ=None):
-        return tuple(raw_call(_mo_arr(max_occ), xs, xn, ys, yn, zs, zn))
+        lead = () if static_cov is not None else (_mo_arr(max_occ),)
+        return tuple(raw_call(*lead, xs, xn, ys, yn, zs, zn))
 
     grid_force.raw = raw
     return grid_force

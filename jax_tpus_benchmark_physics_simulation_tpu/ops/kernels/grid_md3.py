@@ -91,6 +91,7 @@ class GridMD3:
         b_chunk: Optional[int] = None,
         migrate_compact: bool = True,
         migrate_k_mov: int = 16,
+        static_cov: Optional[int] = None,
     ):
         assert grid_fn.dim == 3, "GridMD3 is 3D (grid_md.GridMD covers 2D)"
         self.compensated = compensated
@@ -111,13 +112,19 @@ class GridMD3:
         self.size = self.cps * self.cap * self.lanes
         self._interpret = interpret
         self._migrate_cache = {}
+        # static_cov: compile-time occupancy bound for the force kernel
+        # (straight-line cell_pallas3._static_kernel3). Any rebuild whose
+        # max occupancy exceeds it raises the state's overflow flag — the
+        # under-coverage is loud, never silent (tests assert this).
+        self.static_cov = static_cov
         self.force_kernel = make_grid_force_kernel3(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
-            a_chunk=a_chunk, b_chunk=b_chunk,
+            a_chunk=a_chunk, b_chunk=b_chunk, static_cov=static_cov,
         )
         self.energy_kernel = make_grid_force_kernel3(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
             with_energy=True, a_chunk=a_chunk, b_chunk=b_chunk,
+            static_cov=static_cov,
         )
 
     # -- layout helpers ------------------------------------------------------
@@ -175,6 +182,8 @@ class GridMD3:
             .reshape(self.grid_shape)
         )
         max_occ = self._max_occ(occ)
+        if self.static_cov is not None:
+            overflow = overflow | (max_occ > self.static_cov)
         fxg, fyg, fzg = self.force_kernel(xg, yg, zg, max_occ)
         zeros = jnp.zeros(self.grid_shape, dtype)
         comp = (
@@ -393,6 +402,10 @@ class GridMD3:
             fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
             fills += [0.0] * 6
         new_mo = self._max_occ(occ_new)
+        if self.static_cov is not None:
+            # the static force kernel covers only static_cov slot rows —
+            # a denser rebuild MUST trip the flag, never lose pairs silently
+            overflow = overflow | (new_mo > self.static_cov)
         out, mov_of = self._migrate_call(len(fields), fills)(
             s.max_occ, new_mo, scode, *fields
         )
@@ -451,6 +464,9 @@ class GridMD3:
             else {}
         )
         occ_new = take(9)
+        new_mo = self._max_occ(occ_new)
+        if self.static_cov is not None:
+            overflow = overflow | (new_mo > self.static_cov)
         return s.replace(
             xg=take(0), yg=take(1), zg=take(2),
             vxg=take(3), vyg=take(4), vzg=take(5),
@@ -460,7 +476,7 @@ class GridMD3:
             dispx=zeros, dispy=zeros, dispz=zeros,
             dmax2=jnp.zeros((), dtype),
             overflow=overflow,
-            max_occ=self._max_occ(occ_new),
+            max_occ=new_mo,
             **comp,
         )
 
@@ -504,6 +520,9 @@ class GridMD3:
             else {}
         )
         occ_new = scat(s.occ)
+        new_mo = self._max_occ(occ_new)
+        if self.static_cov is not None:
+            overflow = overflow | (new_mo > self.static_cov)
         return s.replace(
             xg=scat(x.reshape(self.grid_shape), fill=self.sentinel),
             yg=scat(y.reshape(self.grid_shape)),
@@ -515,7 +534,7 @@ class GridMD3:
             dispx=zeros, dispy=zeros, dispz=zeros,
             dmax2=jnp.zeros((), s.xg.dtype),
             overflow=overflow,
-            max_occ=self._max_occ(occ_new),
+            max_occ=new_mo,
             **comp,
         )
 

@@ -59,6 +59,47 @@ class TestGridMD3:
         np.testing.assert_allclose(np.asarray(fx), np.asarray(gs.fxg), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(fz), np.asarray(gs.fzg), rtol=1e-5, atol=1e-5)
 
+    def test_static_cov_matches_dynamic(self):
+        """The straight-line static-coverage kernel (cell_pallas3.
+        _static_kernel3) must match the dynamic-bound kernel: same forces
+        at init, same trajectory through rebuilds (chunk driver)."""
+        box, pos, vel, md = setup(kt=0.5)
+        gs = md.init(pos, vel)
+        cov = min(-(-int(gs.max_occ) // 8) * 8, md.cap)
+        md_s = GridMD3(md.grid_fn, dt=md.dt, static_cov=cov)
+        gs_s = md_s.init(pos, vel)
+        assert not bool(gs_s.overflow)
+        np.testing.assert_allclose(
+            np.asarray(gs_s.fxg), np.asarray(gs.fxg), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gs_s.fzg), np.asarray(gs.fzg), rtol=1e-4, atol=1e-4
+        )
+        chunk_d = md.make_chunk_step(10)
+        chunk_s = md_s.make_chunk_step(10)
+        run_d = jax.jit(lambda s: jax.lax.fori_loop(0, 10, lambda i, t: chunk_d(t), s))
+        run_s = jax.jit(lambda s: jax.lax.fori_loop(0, 10, lambda i, t: chunk_s(t), s))
+        gs, gs_s = run_d(gs), run_s(gs_s)
+        assert not bool(gs_s.overflow)
+        d = np.abs(np.asarray(md.positions(gs)) - np.asarray(md_s.positions(gs_s)))
+        d = np.minimum(d, box - d)
+        np.testing.assert_allclose(d, 0.0, atol=1e-3)
+
+    def test_static_cov_underflow_is_loud(self):
+        """A static coverage below the actual max occupancy must raise the
+        overflow flag (silent pair loss is banned) — at init and at
+        rebuilds."""
+        box, pos, vel, md = setup(rho=0.6)
+        mo = int(md.init(pos, vel).max_occ)
+        assert mo > 8, "setup too dilute for this test"
+        md_s = GridMD3(md.grid_fn, dt=md.dt, static_cov=8)
+        gs_s = md_s.init(pos, vel)
+        assert bool(gs_s.overflow)
+        # and via the rebuild path
+        gs_ok = md_s.init(pos, vel).replace(overflow=jnp.zeros((), bool))
+        gs_rb = md_s._rebuild_migrate(gs_ok)
+        assert bool(gs_rb.overflow)
+
     def test_energy_matches_dense_oracle(self):
         box, pos, vel, md = setup()
         gs = md.init(pos, vel)
