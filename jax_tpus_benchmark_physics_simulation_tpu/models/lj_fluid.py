@@ -163,7 +163,11 @@ def _make_grid_md(cfg: MDConfig):
             from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
 
             return ShardedGridMD3(gf, make_mesh(n_dev, axis_name="x"), **kw)
-        return GridMD3(gf, **kw)
+        # hybrid static-coverage kernels are the 3D production default:
+        # straight-line windows at the estimated occupancy bound, dynamic
+        # fallback via one cond per rebuild period (grid_md3.GridMD3 docs;
+        # measured +5% end-to-end at N=100k, results/static_cov_probe4.py)
+        return GridMD3(gf, static_cov="auto", **kw)
     if n_dev > 1 and gf.cells_per_side % n_dev == 0:
         # auto-shard cell rows over all devices (halo-exchange engine)
         from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md_sharded import (

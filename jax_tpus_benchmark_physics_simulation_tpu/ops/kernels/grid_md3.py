@@ -18,7 +18,7 @@ tests/test_grid_md3.py.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +91,8 @@ class GridMD3:
         b_chunk: Optional[int] = None,
         migrate_compact: bool = True,
         migrate_k_mov: int = 16,
-        static_cov: Optional[int] = None,
+        static_cov: Optional[Union[int, str]] = None,
+        static_fallback: Optional[bool] = None,
     ):
         assert grid_fn.dim == 3, "GridMD3 is 3D (grid_md.GridMD covers 2D)"
         self.compensated = compensated
@@ -113,19 +114,60 @@ class GridMD3:
         self._interpret = interpret
         self._migrate_cache = {}
         # static_cov: compile-time occupancy bound for the force kernel
-        # (straight-line cell_pallas3._static_kernel3). Any rebuild whose
-        # max occupancy exceeds it raises the state's overflow flag — the
-        # under-coverage is loud, never silent (tests assert this).
+        # (straight-line cell_pallas3._static_kernel3).
+        #   int  -> PURE static mode: force/energy kernels cover exactly
+        #           static_cov slot rows; any (re)binning whose max
+        #           occupancy exceeds it raises the state's overflow flag —
+        #           the under-coverage is loud, never silent (tests assert).
+        #   "auto" -> HYBRID mode (the lj_fluid 3D production default):
+        #           cov is estimated from the mean cell occupancy
+        #           (m + 2*sqrt(m), rounded up to the sublane multiple of
+        #           8 — measured max_occ 22 at m=14.6, results/
+        #           static_cov_probe2.py), the static kernel runs the hot
+        #           windows, and a dynamic-bound fallback kernel handles
+        #           the rare rebuild with max_occ > cov via one lax.cond
+        #           PER REBUILD PERIOD (hoisted outside the inner window
+        #           loop — a per-window cond measured +0.04 ms/step, a
+        #           per-rebuild one ~1/10th of that). No overflow is
+        #           raised at mo > cov: the fallback is exact.
+        # static_fallback overrides the mode pairing (int + fallback=True
+        # is the test hook for exercising the dynamic branch).
+        if static_cov == "auto":
+            m = self.n / float(self.cps**3)
+            est = int(np.ceil(m + 2.0 * np.sqrt(max(m, 1.0))))
+            static_cov = min(self.cap, _round_up(max(est, 8), 8))
+            if static_fallback is None:
+                static_fallback = True
         self.static_cov = static_cov
-        self.force_kernel = make_grid_force_kernel3(
-            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
-            a_chunk=a_chunk, b_chunk=b_chunk, static_cov=static_cov,
-        )
-        self.energy_kernel = make_grid_force_kernel3(
-            grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
-            with_energy=True, a_chunk=a_chunk, b_chunk=b_chunk,
-            static_cov=static_cov,
-        )
+        self._static_fallback = bool(static_fallback) and static_cov is not None
+        if self._static_fallback:
+            # hybrid: dynamic kernels are the baseline (+ energy/virial
+            # path), the static pair is the fast window; static chunks
+            # default to (cov, cov) — measured best for the straight-line
+            # kernel (results/static_cov_probe.py)
+            self.force_kernel = make_grid_force_kernel3(
+                grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+                a_chunk=a_chunk, b_chunk=b_chunk,
+            )
+            self.energy_kernel = make_grid_force_kernel3(
+                grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+                with_energy=True, a_chunk=a_chunk, b_chunk=b_chunk,
+            )
+            self.force_kernel_static = make_grid_force_kernel3(
+                grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+                a_chunk=static_cov, b_chunk=static_cov, static_cov=static_cov,
+            )
+        else:
+            self.force_kernel = make_grid_force_kernel3(
+                grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+                a_chunk=a_chunk, b_chunk=b_chunk, static_cov=static_cov,
+            )
+            self.energy_kernel = make_grid_force_kernel3(
+                grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+                with_energy=True, a_chunk=a_chunk, b_chunk=b_chunk,
+                static_cov=static_cov,
+            )
+            self.force_kernel_static = None
 
     # -- layout helpers ------------------------------------------------------
     def _slot3(self, position: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -182,7 +224,7 @@ class GridMD3:
             .reshape(self.grid_shape)
         )
         max_occ = self._max_occ(occ)
-        if self.static_cov is not None:
+        if self.static_cov is not None and not self._static_fallback:
             overflow = overflow | (max_occ > self.static_cov)
         fxg, fyg, fzg = self.force_kernel(xg, yg, zg, max_occ)
         zeros = jnp.zeros(self.grid_shape, dtype)
@@ -465,7 +507,7 @@ class GridMD3:
         )
         occ_new = take(9)
         new_mo = self._max_occ(occ_new)
-        if self.static_cov is not None:
+        if self.static_cov is not None and not self._static_fallback:
             overflow = overflow | (new_mo > self.static_cov)
         return s.replace(
             xg=take(0), yg=take(1), zg=take(2),
@@ -521,7 +563,7 @@ class GridMD3:
         )
         occ_new = scat(s.occ)
         new_mo = self._max_occ(occ_new)
-        if self.static_cov is not None:
+        if self.static_cov is not None and not self._static_fallback:
             overflow = overflow | (new_mo > self.static_cov)
         return s.replace(
             xg=scat(x.reshape(self.grid_shape), fill=self.sentinel),
@@ -661,8 +703,17 @@ class GridMD3:
         """``chunk(s) -> s``: one displacement-gated rebuild + a branch-free
         n_inner-step leapfrog window (see grid_md.GridMD.make_chunk_step for
         the gate/window sizing contract; ``thermostat=(gamma, kT)`` -> BAOAB
-        Langevin windows)."""
+        Langevin windows). In hybrid static mode the window itself is a
+        cond on ``max_occ <= cov`` (static fast path / dynamic fallback)."""
         window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
+        if self._static_fallback:
+            window_s = self._make_window(
+                self.force_kernel_static, n_inner, thermostat=thermostat
+            )
+            window_d, cov = window, self.static_cov
+            window = lambda s: jax.lax.cond(
+                s.max_occ <= cov, window_s, window_d, s
+            )
 
         def chunk(s: GridMD3State) -> GridMD3State:
             s = jax.lax.cond(
@@ -680,21 +731,39 @@ class GridMD3:
     ):
         """Cond-free nested-while production driver — 3D twin of
         grid_md.GridMD.make_production_run (see there for the measured
-        rationale and the exact-step/trailing-rebuild contract)."""
+        rationale and the exact-step/trailing-rebuild contract).
+
+        Hybrid static mode: ``max_occ`` is constant between rebuilds, so
+        the static/dynamic choice is ONE lax.cond around the whole inner
+        window loop — per rebuild period, not per window (a per-window
+        cond measured +0.04 ms/step = 8M psps at 3D N=100k,
+        results/static_cov_probe2.py; hoisted it is ~1/10th of that)."""
         assert n_steps % n_inner == 0, (n_steps, n_inner)
         window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
 
-        def run(s: GridMD3State) -> GridMD3State:
+        def spin(win):
             def inner_cond(c):
                 t, done = c
                 return (done < n_steps) & ~self._needs_rebuild(t, frac=gate_frac)
 
             def inner_body(c):
                 t, done = c
-                return window(t), done + n_inner
+                return win(t), done + n_inner
 
+            return lambda c: jax.lax.while_loop(inner_cond, inner_body, c)
+
+        if self._static_fallback:
+            window_s = self._make_window(
+                self.force_kernel_static, n_inner, thermostat=thermostat
+            )
+            spin_s, spin_d, cov = spin(window_s), spin(window), self.static_cov
+            inner = lambda c: jax.lax.cond(c[0].max_occ <= cov, spin_s, spin_d, c)
+        else:
+            inner = spin(window)
+
+        def run(s: GridMD3State) -> GridMD3State:
             def outer_body(c):
-                c = jax.lax.while_loop(inner_cond, inner_body, c)
+                c = inner(c)
                 t, done = c
                 return self._rebuild_migrate(t), done
 
@@ -707,6 +776,59 @@ class GridMD3:
             return s
 
         return run
+
+    def make_production_run_fixed(self, n_steps: int, cadence: int, thermostat=None):
+        """Fixed-cadence production driver: a single fori_loop of
+        ``rebuild -> cadence-step window`` blocks — zero gate evaluation and
+        zero dynamic-while machinery, which measured 0.038 ms/step at k=1 on
+        3D N=100k (results/static_cov_probe2/3/4.py: gated-best 150.0M psps
+        vs fixed R=10 154.5M, R=11 156.3M, both violation-clean; R=12 trips
+        the skin/2 flag exactly at the ~11.9-step drift horizon).
+
+        Safety demotes from the displacement gate to the window's existing
+        skin/2 violation flag: a cadence outsized for the actual temperature
+        raises ``overflow`` loudly (tests assert), never loses pairs
+        silently. Use :meth:`auto_cadence` for a margin-checked default and
+        only on EQUILIBRATED states — transients (lattice melt) drift
+        faster than the kT-derived horizon. ``n_steps % cadence`` trailing
+        steps run as one remainder block."""
+        assert cadence >= 1, cadence
+        assert thermostat is None, (
+            "fixed-cadence driver is NVE-only; Langevin runs use the gated "
+            "chunk driver (make_chunk_step) where the per-window RNG fold "
+            "is already paid"
+        )
+        window = self._make_window(self.force_kernel, cadence)
+        if self._static_fallback:
+            window_s = self._make_window(self.force_kernel_static, cadence)
+            cov = self.static_cov
+            win_d = window
+            window = lambda s: jax.lax.cond(s.max_occ <= cov, window_s, win_d, s)
+        nb, rem = divmod(n_steps, cadence)
+        if rem:
+            tail = self._make_window(self.force_kernel, rem)
+
+        def run(s: GridMD3State) -> GridMD3State:
+            def body(i, t):
+                return window(self._rebuild_migrate(t))
+
+            s = jax.lax.fori_loop(0, nb, body, s)
+            if rem:
+                s = tail(self._rebuild_migrate(s))
+            return s
+
+        return run
+
+    def auto_cadence(self, kt: float = 1.0) -> int:
+        """Rebuild cadence for :meth:`make_production_run_fixed`: 0.84x the
+        skin/2 violation horizon at the measured equilibrated max-drift rate
+        (max-over-N displacement grows ~5.5*sqrt(kT)*dt per step at N=100k-1M,
+        results/static_cov_probe3/4.py — the horizon was 11.9 steps at skin
+        0.1316 and R=12 tripped the flag, R<=11 stayed clean; 0.84x lands
+        R=10 there, a 19% margin for window-to-window max-drift
+        fluctuation over long runs)."""
+        horizon = 0.5 * self.skin / (5.5 * kt**0.5 * self.dt)
+        return max(1, int(0.84 * horizon))
 
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized together — see

@@ -51,7 +51,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 cfg = override(MDConfig(), n=N, dim=3, rho=0.8, cutoff=2.5, init="lattice")
 skin = lj_fluid.resolve_skin(cfg, "grid", n_devices=1)
 gf = make_cell_grid_fn(cfg.box_size, cfg.cutoff, N, dim=3, rho=cfg.rho, skin=skin)
-md = GridMD3(gf, dt=cfg.dt, compensated=True)  # all-default chunks/kernels
+md = GridMD3(gf, dt=cfg.dt, compensated=True, static_cov="auto")  # lj_fluid default
 k, gate = md.auto_chunk_params(cfg.kt)
 print(
     f"default geometry: cps={md.cps} cap={md.cap} skin={skin:.4f} "
@@ -83,26 +83,30 @@ print(
 assert not bool(s.overflow)
 
 STEPS = max(400, 4 * k)
-prod = md.make_production_run(STEPS, k, gate_frac=gate)
+R = md.auto_cadence(cfg.kt)
+print(f"static_cov={md.static_cov} auto_cadence={R}")
+drivers = [
+    ("gated cond-free", md.make_production_run(STEPS, k, gate_frac=gate)),
+    ("fixed-cadence", md.make_production_run_fixed(STEPS, R)),
+]
+for label, prod in drivers:
 
+    @jax.jit
+    def run(st, prod=prod):
+        st = prod(st)
+        return st, md.kinetic_energy(st)
 
-@jax.jit
-def run(st):
-    st = prod(st)
-    return st, md.kinetic_energy(st)
-
-
-out, _ke = run(s)
-_ = float(_ke)  # hard scalar sync before the timed reps
-best = float("inf")
-for _ in range(3):
-    t0 = time.perf_counter()
     out, _ke = run(s)
-    _ = float(_ke)
-    best = min(best, time.perf_counter() - t0)
-t_step = max(best - LAT, 1e-9) / STEPS
-assert not bool(out.overflow), "violation flag raised during timing"
-print(
-    f"production (cond-free, defaults): {t_step * 1e3:.4f} ms/step -> "
-    f"{N / t_step / 1e6:.1f}M psps"
-)
+    _ = float(_ke)  # hard scalar sync before the timed reps
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, _ke = run(s)
+        _ = float(_ke)
+        best = min(best, time.perf_counter() - t0)
+    t_step = max(best - LAT, 1e-9) / STEPS
+    assert not bool(out.overflow), f"violation flag raised during timing ({label})"
+    print(
+        f"production ({label}, defaults): {t_step * 1e3:.4f} ms/step -> "
+        f"{N / t_step / 1e6:.1f}M psps"
+    )

@@ -100,6 +100,58 @@ class TestGridMD3:
         gs_rb = md_s._rebuild_migrate(gs_ok)
         assert bool(gs_rb.overflow)
 
+    def test_static_auto_hybrid_matches_dynamic(self):
+        """static_cov='auto' (the lj_fluid 3D production default): the
+        hybrid engine must track the dynamic engine exactly through both
+        the gated and the fixed-cadence production drivers, with no
+        overflow (the fallback replaces the pure mode's loud flag)."""
+        box, pos, vel, md = setup(kt=0.5)
+        md_h = GridMD3(md.grid_fn, dt=md.dt, static_cov="auto")
+        assert md_h._static_fallback and md_h.static_cov % 8 == 0
+        gs, gs_h = md.init(pos, vel), md_h.init(pos, vel)
+        assert not bool(gs_h.overflow)
+        run_d = jax.jit(md.make_production_run(40, 2, gate_frac=0.35))
+        run_h = jax.jit(md_h.make_production_run(40, 2, gate_frac=0.35))
+        out_d, out_h = run_d(gs), run_h(gs_h)
+        assert not bool(out_h.overflow)
+        d = np.abs(np.asarray(md.positions(out_d)) - np.asarray(md_h.positions(out_h)))
+        d = np.minimum(d, box - d)
+        np.testing.assert_allclose(d, 0.0, atol=1e-3)
+        # fixed-cadence driver (auto_cadence, incl. a remainder block)
+        R = md_h.auto_cadence(0.5)
+        out_f = jax.jit(md_h.make_production_run_fixed(40, min(R, 27)))(gs_h)
+        assert not bool(out_f.overflow)
+
+    def test_static_fallback_engages_dynamic_branch(self):
+        """A hybrid engine whose coverage is BELOW the actual occupancy
+        must silently (and correctly) run the dynamic fallback: no
+        overflow, trajectory identical to the plain dynamic engine."""
+        box, pos, vel, md = setup(rho=0.6)
+        gs = md.init(pos, vel)
+        assert int(gs.max_occ) > 8, "setup too dilute for this test"
+        md_fb = GridMD3(md.grid_fn, dt=md.dt, static_cov=8, static_fallback=True)
+        gs_fb = md_fb.init(pos, vel)
+        assert not bool(gs_fb.overflow)  # pure mode would flag here
+        run_d = jax.jit(md.make_production_run(30, 2, gate_frac=0.35))
+        run_fb = jax.jit(md_fb.make_production_run(30, 2, gate_frac=0.35))
+        out_d, out_fb = run_d(gs), run_fb(gs_fb)
+        assert not bool(out_fb.overflow)
+        d = np.abs(
+            np.asarray(md.positions(out_d)) - np.asarray(md_fb.positions(out_fb))
+        )
+        d = np.minimum(d, box - d)
+        np.testing.assert_allclose(d, 0.0, atol=1e-3)
+
+    def test_fixed_cadence_overrun_is_loud(self):
+        """A cadence far past the skin/2 drift horizon must raise the
+        violation flag (the fixed driver's only safety net — banned from
+        being silent)."""
+        box, pos, vel, md = setup(kt=2.0, dt=5e-3)
+        gs = md.init(pos, vel)
+        run = jax.jit(md.make_production_run_fixed(120, 60))
+        out = run(gs)
+        assert bool(out.overflow)
+
     def test_energy_matches_dense_oracle(self):
         box, pos, vel, md = setup()
         gs = md.init(pos, vel)
