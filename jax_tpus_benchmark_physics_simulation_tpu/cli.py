@@ -376,8 +376,10 @@ def cmd_md(args) -> int:
         if math.isfinite(d_coef)
         else ""
     )
+    prod_psps = cfg.n * cfg.prod_steps / max(res.time_prod_s, 1e-12)
     console.log(
-        f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s; "
+        f"throughput: {res.particle_steps_per_sec / 1e6:.2f}M particle-steps/s "
+        f"(production phase, equilibrated: {prod_psps / 1e6:.2f}M); "
         f"energy drift: {drift_s}{p_s}{d_s}"
     )
     if res.overflow:

@@ -156,17 +156,19 @@ def _make_grid_md(cfg: MDConfig):
         )
 
         if n_dev > 1 and gf.cells_per_side % n_dev == 0:
-            # auto-shard x-slabs over all devices (halo-exchange engine)
+            # auto-shard x-slabs over all devices (halo-exchange engine);
+            # same hybrid static-coverage default as the single-chip path
             from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md3_sharded import (
                 ShardedGridMD3,
             )
             from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
 
-            return ShardedGridMD3(gf, make_mesh(n_dev, axis_name="x"), **kw)
+            return ShardedGridMD3(
+                gf, make_mesh(n_dev, axis_name="x"), static_cov="auto", **kw
+            )
         # hybrid static-coverage kernels are the 3D production default:
         # straight-line windows at the estimated occupancy bound, dynamic
-        # fallback via one cond per rebuild period (grid_md3.GridMD3 docs;
-        # measured +5% end-to-end at N=100k, results/static_cov_probe4.py)
+        # fallback via one cond per rebuild period (grid_md3.GridMD3 docs)
         return GridMD3(gf, static_cov="auto", **kw)
     if n_dev > 1 and gf.cells_per_side % n_dev == 0:
         # auto-shard cell rows over all devices (halo-exchange engine)
@@ -339,8 +341,12 @@ def equilibrate(cfg: MDConfig, state: ParticleState):
         )
         n_chunks, rem = divmod(cfg.eq_steps, k)
         if n_chunks:
-            chunk = md.make_chunk_step(k, gate_frac=gate, thermostat=thermo)
-            gs = run_steps(chunk, gs, n_chunks)
+            # cond-free nested-while driver (bench.py's headline driver —
+            # the chunk driver's per-chunk lax.cond measured ~0.015 ms/step
+            # of state copies, results/cond_rebuild_probe.py)
+            gs = md.make_production_run(
+                n_chunks * k, k, gate_frac=gate, thermostat=thermo
+            )(gs)
         if rem:
             gs = md.make_chunk_step(rem, gate_frac=gate, thermostat=thermo)(gs)
         return (
@@ -377,11 +383,13 @@ def production(cfg: MDConfig, state: ParticleState):
         gs = md.prepare(
             md.init(state.position, state.velocity, seed=_grid_seed(cfg))
         )
-        chunk = md.make_chunk_step(k, gate_frac=gate, thermostat=thermo)
-        per_sample = cfg.sample_every // k
+        # cond-free production driver between samples (cond_rebuild_probe)
+        prod_block = md.make_production_run(
+            cfg.sample_every, k, gate_frac=gate, thermostat=thermo
+        )
 
         def sample_block(g, _):
-            g = run_steps(chunk, g, per_sample)
+            g = prod_block(g)
             return g, (md.positions(g), md.kinetic_energy(g), md.potential_energy(g))
 
         n_samples = cfg.prod_steps // cfg.sample_every
@@ -391,10 +399,12 @@ def production(cfg: MDConfig, state: ParticleState):
         rem = cfg.prod_steps - n_samples * cfg.sample_every
         if rem:
             # the tail can exceed the window budget k — run it in k-sized
-            # chunks (a window longer than k would erode the skin margin)
+            # windows (a window longer than k would erode the skin margin)
             n2, r2 = divmod(rem, k)
             if n2:
-                gs = run_steps(chunk, gs, n2)
+                gs = md.make_production_run(
+                    n2 * k, k, gate_frac=gate, thermostat=thermo
+                )(gs)
             if r2:
                 gs = md.make_chunk_step(r2, gate_frac=gate, thermostat=thermo)(gs)
         final = state.replace(

@@ -685,7 +685,7 @@ class GridMD:
         """One velocity-Verlet step with NO rebuild logic (single-step window).
         Only valid inside rebuild-gated windows; prefer
         :meth:`make_chunk_step` for long runs."""
-        return self._make_window(self.force_kernel, 1)(s)
+        return self._window_builder(1)(s)
 
     def step(self, s: GridMDState) -> GridMDState:
         """Single step with a per-step displacement-gated rebuild. Correct for
@@ -693,6 +693,13 @@ class GridMD:
         prefer :meth:`make_chunk_step` for long runs."""
         s = jax.lax.cond(self._needs_rebuild(s), self._rebuild_migrate, lambda t: t, s)
         return self.step_nocheck(s)
+
+    def _window_builder(self, n_inner: int, thermostat=None):
+        """Integrator-window factory hook: every driver below builds its
+        windows through this, so the sharded subclass overrides ONE method
+        (halo force + shard_map wrapper) and inherits chunk AND cond-free
+        production drivers unchanged."""
+        return self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
 
     def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25, thermostat=None):
         """Returns ``chunk(s) -> s`` advancing ``n_inner`` steps with a single
@@ -706,7 +713,7 @@ class GridMD:
         windows; 0.4 measured optimal at N=100k (results/RESULTS.md).
         ``thermostat=(gamma, kT)`` makes the windows BAOAB Langevin (NVT) —
         see :meth:`_make_window`."""
-        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
+        window = self._window_builder(n_inner, thermostat=thermostat)
 
         def chunk(s: GridMDState) -> GridMDState:
             s = jax.lax.cond(
@@ -736,7 +743,7 @@ class GridMD:
         trailing rebuild per call, amortized over ``n_steps``).
         ``n_inner``/``gate_frac`` contract is :meth:`auto_chunk_params`'s."""
         assert n_steps % n_inner == 0, (n_steps, n_inner)
-        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
+        window = self._window_builder(n_inner, thermostat=thermostat)
 
         def run(s: GridMDState) -> GridMDState:
             def inner_cond(c):

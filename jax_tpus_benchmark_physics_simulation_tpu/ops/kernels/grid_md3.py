@@ -18,6 +18,7 @@ tests/test_grid_md3.py.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple, Union
 
 import jax
@@ -444,9 +445,11 @@ class GridMD3:
             fields += [s.crx, s.cry, s.crz, s.cvx, s.cvy, s.cvz]
             fills += [0.0] * 6
         new_mo = self._max_occ(occ_new)
-        if self.static_cov is not None:
+        if self.static_cov is not None and not self._static_fallback:
             # the static force kernel covers only static_cov slot rows —
             # a denser rebuild MUST trip the flag, never lose pairs silently
+            # (in hybrid/fallback mode the dynamic kernel handles mo > cov
+            # exactly, so no flag — same guard as init/_rebuild/_rows)
             overflow = overflow | (new_mo > self.static_cov)
         out, mov_of = self._migrate_call(len(fields), fills)(
             s.max_occ, new_mo, scode, *fields
@@ -692,8 +695,17 @@ class GridMD3:
 
         return window
 
+    def _window_builder(self, n_inner: int, thermostat=None, static: bool = False):
+        """Integrator-window factory hook (see grid_md.GridMD._window_builder):
+        the sharded subclass overrides this one method — halo force +
+        shard_map wrapper — and inherits every driver below, including the
+        hybrid static/dynamic dispatch. ``static=True`` builds the window on
+        the straight-line static-coverage kernel (hybrid mode only)."""
+        kern = self.force_kernel_static if static else self.force_kernel
+        return self._make_window(kern, n_inner, thermostat=thermostat)
+
     def step_nocheck(self, s: GridMD3State) -> GridMD3State:
-        return self._make_window(self.force_kernel, 1)(s)
+        return self._window_builder(1)(s)
 
     def step(self, s: GridMD3State) -> GridMD3State:
         s = jax.lax.cond(self._needs_rebuild(s), self._rebuild_migrate, lambda t: t, s)
@@ -705,10 +717,10 @@ class GridMD3:
         the gate/window sizing contract; ``thermostat=(gamma, kT)`` -> BAOAB
         Langevin windows). In hybrid static mode the window itself is a
         cond on ``max_occ <= cov`` (static fast path / dynamic fallback)."""
-        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
+        window = self._window_builder(n_inner, thermostat=thermostat)
         if self._static_fallback:
-            window_s = self._make_window(
-                self.force_kernel_static, n_inner, thermostat=thermostat
+            window_s = self._window_builder(
+                n_inner, thermostat=thermostat, static=True
             )
             window_d, cov = window, self.static_cov
             window = lambda s: jax.lax.cond(
@@ -739,7 +751,7 @@ class GridMD3:
         cond measured +0.04 ms/step = 8M psps at 3D N=100k,
         results/static_cov_probe2.py; hoisted it is ~1/10th of that)."""
         assert n_steps % n_inner == 0, (n_steps, n_inner)
-        window = self._make_window(self.force_kernel, n_inner, thermostat=thermostat)
+        window = self._window_builder(n_inner, thermostat=thermostat)
 
         def spin(win):
             def inner_cond(c):
@@ -753,8 +765,8 @@ class GridMD3:
             return lambda c: jax.lax.while_loop(inner_cond, inner_body, c)
 
         if self._static_fallback:
-            window_s = self._make_window(
-                self.force_kernel_static, n_inner, thermostat=thermostat
+            window_s = self._window_builder(
+                n_inner, thermostat=thermostat, static=True
             )
             spin_s, spin_d, cov = spin(window_s), spin(window), self.static_cov
             inner = lambda c: jax.lax.cond(c[0].max_occ <= cov, spin_s, spin_d, c)
@@ -798,15 +810,21 @@ class GridMD3:
             "chunk driver (make_chunk_step) where the per-window RNG fold "
             "is already paid"
         )
-        window = self._make_window(self.force_kernel, cadence)
+        window = self._window_builder(cadence)
         if self._static_fallback:
-            window_s = self._make_window(self.force_kernel_static, cadence)
+            window_s = self._window_builder(cadence, static=True)
             cov = self.static_cov
             win_d = window
             window = lambda s: jax.lax.cond(s.max_occ <= cov, window_s, win_d, s)
         nb, rem = divmod(n_steps, cadence)
         if rem:
-            tail = self._make_window(self.force_kernel, rem)
+            tail = self._window_builder(rem)
+            if self._static_fallback:
+                tail_s = self._window_builder(rem, static=True)
+                cov_t, tail_d = self.static_cov, tail
+                tail = lambda s: jax.lax.cond(
+                    s.max_occ <= cov_t, tail_s, tail_d, s
+                )
 
         def run(s: GridMD3State) -> GridMD3State:
             def body(i, t):
@@ -826,8 +844,18 @@ class GridMD3:
         results/static_cov_probe3/4.py — the horizon was 11.9 steps at skin
         0.1316 and R=12 tripped the flag, R<=11 stayed clean; 0.84x lands
         R=10 there, a 19% margin for window-to-window max-drift
-        fluctuation over long runs)."""
-        horizon = 0.5 * self.skin / (5.5 * kt**0.5 * self.dt)
+        fluctuation over long runs).
+
+        The 5.5 constant was FIT at N=100k-1M. The max-over-N drift grows
+        like extreme-value statistics ~sqrt(log N), so beyond the fitted
+        range the rate is scaled by sqrt(log N / log 1e6) — at N=1e7 this
+        shortens the cadence ~8% instead of letting the 19% margin erode.
+        If the skin/2 flag still trips (it is loud, never silent), fall
+        back to the gated driver (:meth:`make_production_run`)."""
+        rate = 5.5 * kt**0.5 * self.dt
+        if self.n > 1_000_000:
+            rate *= (math.log(self.n) / math.log(1_000_000.0)) ** 0.5
+        horizon = 0.5 * self.skin / rate
         return max(1, int(0.84 * horizon))
 
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:

@@ -156,6 +156,8 @@ class ShardedGridMD3(GridMD3):
         dt: float = 1e-3,
         interpret: Optional[bool] = None,
         compensated: bool = False,
+        static_cov=None,
+        static_fallback: Optional[bool] = None,
     ):
         super().__init__(
             grid_fn,
@@ -164,6 +166,8 @@ class ShardedGridMD3(GridMD3):
             dt=dt,
             interpret=interpret,
             compensated=compensated,
+            static_cov=static_cov,
+            static_fallback=static_fallback,
         )
         self.mesh = mesh
         self.axis_name = axis_name
@@ -173,14 +177,29 @@ class ShardedGridMD3(GridMD3):
                 f"cells_per_side {self.cps} not divisible by mesh size {self.n_shards}"
             )
         self.rows_local = self.cps // self.n_shards
+        # pure static mode: the LOCAL kernel itself is the straight-line
+        # static variant (the overflow contract lives in the inherited
+        # rebuild paths); hybrid mode keeps the dynamic local kernel here
+        # and adds the static one below for the fast window branch.
+        pure_cov = None if self._static_fallback else self.static_cov
         self._local_force = make_grid_force_kernel3(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
-            n_rows=self.rows_local,
+            n_rows=self.rows_local, static_cov=pure_cov,
+            **(dict(a_chunk=pure_cov, b_chunk=pure_cov) if pure_cov else {}),
         ).raw
         self._local_energy = make_grid_force_kernel3(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
             n_rows=self.rows_local, with_energy=True,
         ).raw
+        if self._static_fallback:
+            cov = self.static_cov
+            self._local_force_static = make_grid_force_kernel3(
+                grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
+                n_rows=self.rows_local, static_cov=cov,
+                a_chunk=cov, b_chunk=cov,
+            ).raw
+        else:
+            self._local_force_static = None
 
     def prepare(self, state: GridMD3State) -> GridMD3State:
         return self.shard_state(state)
@@ -218,7 +237,13 @@ class ShardedGridMD3(GridMD3):
         return jnp.concatenate([halo, r[:-1]], axis=0)
 
     def _halo_force(self, xg, yg, zg, max_occ=None):
-        fx, fy, fz, rfx, rfy, rfz = self._local_force(
+        return self._fold_halo_force(self._local_force, xg, yg, zg, max_occ)
+
+    def _halo_force_static(self, xg, yg, zg, max_occ=None):
+        return self._fold_halo_force(self._local_force_static, xg, yg, zg, max_occ)
+
+    def _fold_halo_force(self, local, xg, yg, zg, max_occ):
+        fx, fy, fz, rfx, rfy, rfz = local(
             xg, self._with_halo(xg, seam_delta=self.box),
             yg, self._with_halo(yg),
             zg, self._with_halo(zg),
@@ -231,44 +256,32 @@ class ShardedGridMD3(GridMD3):
         )
 
     # -- sharded windows --------------------------------------------------------
-    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25, thermostat=None):
+    def _window_builder(self, n_inner: int, thermostat=None, static: bool = False):
+        """Sharded window hook (see grid_md_sharded.ShardedGridMD.
+        _window_builder): base-class drivers — gated chunk, cond-free
+        production while-loops, fixed-cadence fori, INCLUDING the hybrid
+        static/dynamic max_occ cond — run at GSPMD level and build each
+        window through this shard_map wrapper."""
         ax = self.axis_name
         window = self._make_window(
-            self._halo_force,
+            self._halo_force_static if static else self._halo_force,
             n_inner,
             reduce_max=lambda v: lax.pmax(v, ax),
             thermostat=thermostat,
             rng_fold=lambda k: jax.random.fold_in(k, lax.axis_index(ax)),
         )
 
-        def chunk(s: GridMD3State) -> GridMD3State:
-            s = lax.cond(
-                self._needs_rebuild(s, frac=gate_frac),
-                self._rebuild_migrate,
-                lambda t: t,
-                s,
-            )
+        def wrapped(s: GridMD3State) -> GridMD3State:
             specs = self._state_specs(s)
-            sharded = jax.shard_map(
+            return jax.shard_map(
                 window,
                 mesh=self.mesh,
                 in_specs=(specs,),
                 out_specs=specs,
                 check_vma=False,
-            )
-            return sharded(s)
+            )(s)
 
-        return chunk
-
-    def step_nocheck(self, s: GridMD3State) -> GridMD3State:
-        specs = self._state_specs(s)
-        window = self._make_window(
-            self._halo_force, 1, reduce_max=lambda v: lax.pmax(v, self.axis_name)
-        )
-        return jax.shard_map(
-            window, mesh=self.mesh, in_specs=(specs,), out_specs=specs,
-            check_vma=False,
-        )(s)
+        return wrapped
 
     def force_once(self, s: GridMD3State):
         """Single sharded force evaluation (for tests): (fx, fy, fz)."""

@@ -231,10 +231,14 @@ class ShardedGridMD(GridMD):
         return fx + self._shift_reaction(rfx), fy + self._shift_reaction(rfy)
 
     # -- sharded windows --------------------------------------------------------
-    def make_chunk_step(self, n_inner: int, gate_frac: float = 0.25, thermostat=None):
-        """Sharded chunk: conditional (global, GSPMD) migration rebuild, then
-        one shard_map leapfrog window of ``n_inner`` steps (see
-        GridMD.make_chunk_step for the gate/window sizing contract).
+    def _window_builder(self, n_inner: int, thermostat=None):
+        """Sharded window: the local halo-force leapfrog window wrapped in
+        shard_map (specs taken from the state at trace time). The base-class
+        drivers — make_chunk_step's gated chunk AND make_production_run's
+        cond-free nested while — build every window through this hook, so
+        their rebuild conds/loops run at GSPMD level (rebuild on the
+        GSPMD-sharded global arrays, collectives auto) with identical
+        arithmetic to the single-chip engine.
         ``thermostat=(gamma, kT)``: BAOAB Langevin windows — each shard
         draws its own noise stream (the replicated state key folded with
         the shard index)."""
@@ -247,35 +251,17 @@ class ShardedGridMD(GridMD):
             rng_fold=lambda k: jax.random.fold_in(k, lax.axis_index(ax)),
         )
 
-        def chunk(s: GridMDState) -> GridMDState:
-            # rebuild on the GSPMD-sharded global arrays (collectives auto)
-            s = lax.cond(
-                self._needs_rebuild(s, frac=gate_frac),
-                self._rebuild_migrate,
-                lambda t: t,
-                s,
-            )
+        def wrapped(s: GridMDState) -> GridMDState:
             specs = self._state_specs(s)
-            sharded = jax.shard_map(
+            return jax.shard_map(
                 window,
                 mesh=self.mesh,
                 in_specs=(specs,),
                 out_specs=specs,
                 check_vma=False,
-            )
-            return sharded(s)
+            )(s)
 
-        return chunk
-
-    def step_nocheck(self, s: GridMDState) -> GridMDState:
-        specs = self._state_specs(s)
-        window = self._make_window(
-            self._halo_force, 1, reduce_max=lambda v: lax.pmax(v, self.axis_name)
-        )
-        return jax.shard_map(
-            window, mesh=self.mesh, in_specs=(specs,), out_specs=specs,
-            check_vma=False,
-        )(s)
+        return wrapped
 
     def force_once(self, s: GridMDState):
         """Single sharded force evaluation (for tests): total (fx, fy)."""

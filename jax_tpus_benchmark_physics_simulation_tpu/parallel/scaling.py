@@ -49,11 +49,18 @@ def _build_engine(cfg: MDConfig, n_devices: int):
             ShardedGridMD3,
         )
 
+        # hybrid static-coverage default, same as lj_fluid._make_grid_md —
+        # the sweep measures the kernels production actually runs
         if n_devices == 1:
-            return GridMD3(gf, **kw), gf
+            return GridMD3(gf, static_cov="auto", **kw), gf
         if gf.cells_per_side % n_devices:
             return None, gf
-        return ShardedGridMD3(gf, make_mesh(n_devices, axis_name="x"), **kw), gf
+        return (
+            ShardedGridMD3(
+                gf, make_mesh(n_devices, axis_name="x"), static_cov="auto", **kw
+            ),
+            gf,
+        )
     if n_devices == 1:
         return GridMD(gf, **kw), gf
     if gf.cells_per_side % n_devices:
@@ -63,13 +70,12 @@ def _build_engine(cfg: MDConfig, n_devices: int):
 
 def _time_steps(md, gs, n_inner: int, n_chunks: int, repeats: int = 3,
                 gate_frac: float = 0.25) -> float:
-    """Best-of wall seconds for ``n_chunks`` fused chunk steps (hard scalar
-    sync — block_until_ready can return early over remote tunnels)."""
-    chunk = md.make_chunk_step(n_inner, gate_frac=gate_frac)
-
-    @jax.jit
-    def run(s):
-        return jax.lax.fori_loop(0, n_chunks, lambda i, t: chunk(t), s)
+    """Best-of wall seconds for ``n_chunks * n_inner`` fused steps under the
+    cond-free production driver (hard scalar sync — block_until_ready can
+    return early over remote tunnels)."""
+    run = jax.jit(
+        md.make_production_run(n_chunks * n_inner, n_inner, gate_frac=gate_frac)
+    )
 
     gs = run(gs)
     _ = float(jnp.sum(gs.vxg))  # compile + warmup, hard sync

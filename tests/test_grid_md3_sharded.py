@@ -1,5 +1,9 @@
 """Sharded 3D grid MD (8-device CPU mesh) vs the single-device 3D engine."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,3 +141,42 @@ class TestSharded3RebuildDescriptorFree:
         gs = local.init(pos, vel)
         bad = self._descriptor_ops(local._rebuild_migrate_rows, gs)
         assert bad, "detector no longer sees the descriptor-bound rows path"
+
+
+class TestSharded3StaticCov:
+    """Hybrid static-coverage (static_cov='auto', the lj_fluid production
+    default since round 5) on the sharded engine: trajectory parity vs the
+    plain dynamic sharded engine through the cond-free production driver
+    (the exact path lj_fluid.production dispatches multi-device)."""
+
+    def test_hybrid_production_matches_dynamic(self):
+        pos, vel, local, sharded = setup()
+        hybrid = ShardedGridMD3(
+            local.grid_fn, make_mesh(8, axis_name="x"), static_cov="auto"
+        )
+        assert hybrid._static_fallback and hybrid.static_cov % 8 == 0
+        gs_d = sharded.shard_state(local.init(pos, vel))
+        gs_h = hybrid.shard_state(local.init(pos, vel))
+        run_d = jax.jit(sharded.make_production_run(40, 2, gate_frac=0.35))
+        run_h = jax.jit(hybrid.make_production_run(40, 2, gate_frac=0.35))
+        out_d, out_h = run_d(gs_d), run_h(gs_h)
+        assert not bool(out_h.overflow)
+        box = local.box
+        p_d = np.asarray(local.positions(out_d))
+        p_h = np.asarray(local.positions(out_h))
+        d = np.abs(p_d - p_h)
+        d = np.minimum(d, box - d)
+        np.testing.assert_allclose(d, 0.0, atol=1e-3)
+
+    def test_pure_static_underflow_is_loud_sharded(self):
+        """Pure static mode (int cov, no fallback) must flag under-coverage
+        through the SHARDED rebuild path too."""
+        pos, vel, local, _ = setup()
+        mo = int(local.init(pos, vel).max_occ)
+        if mo <= 8:
+            pytest.skip("setup too dilute to exceed cov 8")
+        pure = ShardedGridMD3(
+            local.grid_fn, make_mesh(8, axis_name="x"), static_cov=8
+        )
+        gs = pure.shard_state(pure.init(pos, vel))
+        assert bool(gs.overflow)
