@@ -76,14 +76,26 @@ def radial_distribution(
             edges2 = r_bins * r_bins  # monotone: compare in r^2, no sqrt
             below = jnp.sum(r2[None, :] < edges2[:, None], axis=1).astype(jnp.float32)
             return below[1:] - below[:-1]
+        # Uniform edges (linspace) -> the bin index is pure arithmetic:
+        # floor(r / bin_w). searchsorted's binary-search rounds cost ~9
+        # descriptor-bound gather passes over the pair set (~1.6 s/snapshot
+        # at 4096^2 pairs on v5e, round-5 measurement) for the exact same
+        # answer; one single-column scatter-add (the ~84M rows/s rate,
+        # results/gather_width_probe.py) is all the descriptor work needed.
+        bin_w = r_max / nbins
         r = jnp.sqrt(r2)
-        idx = jnp.clip(jnp.searchsorted(r_bins, r, side="right") - 1, 0, nbins)
+        idx = jnp.minimum((r / bin_w).astype(jnp.int32), nbins)
         idx = jnp.where(iu & (r < r_max), idx, nbins)
         counts = jnp.zeros((nbins + 1,), jnp.float32).at[idx.ravel()].add(1.0)
         return counts[:nbins]
 
-    # Sequential over snapshots: batching would materialize an
-    # O(S * nbins * n^2) (compare) or O(S * n^2) (bucketize) intermediate.
-    all_hists = jax.lax.map(snapshot_hist, r_history)
-    g_r = jnp.mean(all_hists, axis=0) / ideal_counts
+    # Sequential over snapshots, accumulated in place: batching would
+    # materialize an O(S * nbins * n^2) (compare) or O(S * n^2) (bucketize)
+    # intermediate, and the stacked lax.map form crashed the v5e worker
+    # outright at S=100 snapshots (round-5 CLI g(r) phase; S<=20 survived).
+    def body(i, acc):
+        return acc + snapshot_hist(r_history[i])
+
+    total = jax.lax.fori_loop(0, s, body, jnp.zeros((nbins,), jnp.float32))
+    g_r = (total / s) / ideal_counts
     return bin_centers, g_r
