@@ -14,8 +14,20 @@ from typing import Any, Optional
 import jax
 
 
+def _ocp():
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "checkpoint/resume requires orbax-checkpoint; install the extra: "
+            "pip install 'jax_tpus_benchmark_physics_simulation_tpu[ckpt]'"
+        ) from e
+    return ocp
+
+
+
 def _manager(directory: str, max_to_keep: int = 3):
-    import orbax.checkpoint as ocp
+    ocp = _ocp()
 
     directory = os.path.abspath(directory)
     options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
@@ -24,7 +36,7 @@ def _manager(directory: str, max_to_keep: int = 3):
 
 def save_checkpoint(directory: str, step: int, state: Any, max_to_keep: int = 3) -> None:
     """Save a pytree at ``step`` under ``directory`` (blocking)."""
-    import orbax.checkpoint as ocp
+    ocp = _ocp()
 
     mgr = _manager(directory, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
@@ -33,7 +45,7 @@ def save_checkpoint(directory: str, step: int, state: Any, max_to_keep: int = 3)
 
 
 def latest_step(directory: str) -> Optional[int]:
-    import orbax.checkpoint as ocp
+    ocp = _ocp()
 
     if not os.path.isdir(directory):
         return None
@@ -56,7 +68,7 @@ def config_fingerprint(cfg: Any) -> int:
 def restore_checkpoint(directory: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore a pytree with the structure/shapes of ``target``. Returns the
     restored pytree (``target`` is the abstract template)."""
-    import orbax.checkpoint as ocp
+    ocp = _ocp()
 
     mgr = _manager(directory)
     if step is None:

@@ -56,7 +56,13 @@ def write_json(data, path: str) -> None:
 
 def write_wav(signal: Sequence[float], path: str, sample_rate: int = 44100, boost: float = 5.0) -> None:
     """Normalized, boosted, clipped int16 WAV (reference nbody...:220-227)."""
-    from scipy.io import wavfile
+    try:
+        from scipy.io import wavfile
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "WAV output requires scipy; install the extra: "
+            "pip install 'jax_tpus_benchmark_physics_simulation_tpu[media]'"
+        ) from e
 
     sig = np.asarray(signal, dtype=np.float64)
     normalized = sig / (np.max(np.abs(sig)) + 1e-10)

@@ -18,6 +18,17 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 
+
+def _imageio():
+    try:
+        imageio = _imageio()
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "GIF output requires imageio; install the extra: "
+            "pip install 'jax_tpus_benchmark_physics_simulation_tpu[media]'"
+        ) from e
+    return imageio
+
 def _fig_to_rgb(fig) -> np.ndarray:
     fig.canvas.draw()
     buf = np.asarray(fig.canvas.buffer_rgba())
@@ -34,7 +45,7 @@ def scatter_gif(
     max_frames: int = 500,
 ) -> str:
     """Particle scatter animation (three_particles...:95-112)."""
-    import imageio.v2 as imageio
+    imageio = _imageio()
 
     traj = np.asarray(trajectory)
     idxs = range(0, traj.shape[0], max(frame_step, traj.shape[0] // max_frames + 1))
@@ -60,7 +71,7 @@ def merger_gif(
     frame_step: int = 2,
 ) -> str:
     """Two-panel positions + cumulative strain animation (nbody...:248-282)."""
-    import imageio.v2 as imageio
+    imageio = _imageio()
 
     t = np.asarray(t)
     pos = np.asarray(positions)
@@ -102,7 +113,7 @@ def walker_histogram_gif(
     exact_sigma: Optional[float] = None,
 ) -> str:
     """Walker x-marginal histogram animation (vmc_dmc...:156-183)."""
-    import imageio.v2 as imageio
+    imageio = _imageio()
 
     snaps = np.asarray(snapshots)
     x_theory = np.linspace(-3.5, 3.5, 300)

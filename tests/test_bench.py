@@ -1,6 +1,10 @@
 """Benchmark suite tests (tiny sizes on the CPU mesh): all ops run, FLOP
 models match the reference formulas, sweep core candidates, export/plot."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import json
 import math
 import os

@@ -1,6 +1,10 @@
 """CLI smoke tests (tiny configs, CPU mesh). Verifies every subcommand wires
 end-to-end: parse -> engine -> report/artifacts."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import os
 
 import numpy as np

@@ -1,5 +1,9 @@
 """Distributed MD (ring force, 8 virtual devices) vs the local dense engine."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,10 @@ waveform behavior — since no two independently-coded f64 programs can agree
 on raw positions past a few Lyapunov times (SURVEY.md §7 "hard parts").
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Driver-contract tests: entry() compiles and runs; dryrun_multichip
 exercises the 8-device mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import sys
 
 import jax

@@ -2,6 +2,10 @@
 correctness (migration vs sort oracle), violation detection, and the
 lj_fluid 'grid' dispatch."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,6 +5,10 @@ conservation, violation detection, and the lj_fluid 3D 'grid' dispatch.
 Mirror of tests/test_grid_md.py for the packed-lane 3D engine
 (ops/kernels/grid_md3.py, cell_pallas3.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

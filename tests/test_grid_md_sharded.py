@@ -1,5 +1,9 @@
 """Sharded grid MD (8-device CPU mesh) vs the single-device engine."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,10 @@ movers (dcode != 13) into k_mov shared sublane slots and must (1) produce
 the identical permutation, (2) raise mover_overflow iff some cell exceeds
 k_mov movers (silent dropping is banned)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -7,6 +7,10 @@ across processes and a shard_map ppermute ring — the exact collective
 machinery the sharded MD engine uses — and checks the results.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import os
 import socket
 import subprocess

@@ -1,6 +1,10 @@
 """Pallas blockwise kernels vs the dense XLA oracles (interpret mode on the
 CPU test mesh; the identical kernel code compiles via Mosaic on TPU)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

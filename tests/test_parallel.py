@@ -3,6 +3,10 @@ must match the single-device dense oracles; sharded MC must match replicated
 results. (The reference has zero cross-device communication to test —
 SURVEY.md §2g; these cover the new capability.)"""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

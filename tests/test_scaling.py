@@ -2,6 +2,10 @@
 and the sharded-vs-single parity check — on the virtual CPU mesh (conftest
 forces 8 devices)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 from jax_tpus_benchmark_physics_simulation_tpu.core.config import MDConfig, override
 from jax_tpus_benchmark_physics_simulation_tpu.parallel.scaling import (
     _round_to_divisible_n,

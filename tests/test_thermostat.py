@@ -8,6 +8,10 @@ sharded engine matches the target with decorrelated per-shard noise, and
 the model/CLI layer validates impl dispatch.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np
