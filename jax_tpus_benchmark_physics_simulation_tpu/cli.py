@@ -352,6 +352,7 @@ def cmd_md(args) -> int:
     console.records_table(
         "Simulation Summary",
         [
+            {"phase": "Compile", "time_s": res.time_compile_s, "detail": "XLA compile / cache load"},
             {"phase": "Equilibration", "time_s": res.time_eq_s, "detail": f"{cfg.eq_steps:,} steps"},
             {"phase": "Production", "time_s": res.time_prod_s, "detail": f"{cfg.prod_steps:,} steps"},
             {"phase": "g(r)", "time_s": res.time_rdf_s, "detail": f"{res.r_history.shape[0]} snapshots"},

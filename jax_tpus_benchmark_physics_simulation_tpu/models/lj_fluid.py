@@ -445,6 +445,9 @@ class MDResult:
     time_eq_s: float
     time_prod_s: float
     time_rdf_s: float
+    # one-time XLA compile (or persistent-cache executable load) of the two
+    # phase programs — paid before the physics timers start (see run())
+    time_compile_s: float = 0.0
     particle_steps_per_sec: float = 0.0
     # Capacity/skin overflow from the spatial structure (grid/cell/neighbor):
     # True means some structural invariant was violated mid-run and the
@@ -517,6 +520,20 @@ def run(
         if progress is not None:
             progress.update(task, total=1, completed=1)
 
+    # AOT-compile the two phase programs OUTSIDE the physics timers: over
+    # the remote-TPU tunnel a cold compile is ~30 s and even a persistent-
+    # cache HIT costs ~15-20 s of executable load per program (round-5
+    # measurement) — folding that into time_eq/time_prod made a 7.4 s
+    # production phase report as 34-95 s. The compile/load cost is real and
+    # is reported separately (MDResult.time_compile_s); the phase timings
+    # measure the physics the way every probe in results/ does.
+    t0 = time.perf_counter()
+    task = phase("compile (equilibration + production)")
+    eq_exe = equilibrate.lower(cfg, state).compile()
+    prod_exe = production.lower(cfg, state).compile()
+    time_compile = time.perf_counter() - t0
+    phase_done(task)
+
     t0 = time.perf_counter()
     task = phase(f"equilibration ({cfg.eq_steps:,} steps)")
     state_eq = None
@@ -530,7 +547,7 @@ def run(
         if latest_step(ckpt_dir) is not None:
             state_eq = restore_checkpoint(ckpt_dir, state)
     if state_eq is None:
-        state_eq, overflow_eq = equilibrate(cfg, state)
+        state_eq, overflow_eq = eq_exe(state)
         _ = float(state_eq.position[0, 0])  # hard sync (see CLAUDE.md)
         overflow_eq = bool(overflow_eq)
         if ckpt_dir is not None:
@@ -542,7 +559,7 @@ def run(
 
     t0 = time.perf_counter()
     task = phase(f"production ({cfg.prod_steps:,} steps)")
-    final, (r_hist, ke_hist, pe_hist), overflow_prod = production(cfg, state_eq)
+    final, (r_hist, ke_hist, pe_hist), overflow_prod = prod_exe(state_eq)
     _ = float(ke_hist[-1])  # hard sync
     time_prod = time.perf_counter() - t0
     phase_done(task)
@@ -581,6 +598,7 @@ def run(
         time_eq_s=time_eq,
         time_prod_s=time_prod,
         time_rdf_s=time_rdf,
+        time_compile_s=time_compile,
         particle_steps_per_sec=cfg.n
         * (cfg.eq_steps + cfg.prod_steps)
         / max(time_eq + time_prod, 1e-12),

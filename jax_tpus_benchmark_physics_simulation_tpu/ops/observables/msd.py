@@ -46,18 +46,25 @@ def mean_squared_displacement(
         stride = n // max_particles
         r_history = r_history[:, :: stride][:, :max_particles]
     u = unwrap_trajectory(r_history, box)
-    s = u.shape[0]
+    return _msd_device(u)
+
+
+@jax.jit
+def _msd_device(u: jax.Array) -> jax.Array:
+    """All lags in ONE device program. The former eager python loop issued
+    ~6 dispatches per lag (~600 total at S=100) — over a remote TPU tunnel
+    at ~30 ms/dispatch plus uncached mini-compiles that alone cost 30-60 s
+    of host wall per CLI run (round-5 cache-log measurement). Equal-shape
+    lags via roll + origin masking keep it one small lax.map program."""
+    s, n, _ = u.shape
 
     def lag(k):
-        # displacement over lag k, averaged over the s-k valid origins
-        diff = jax.lax.dynamic_slice_in_dim(u, k, s - k, axis=0) - jax.lax.slice_in_dim(
-            u, 0, s - k, axis=0
-        )
-        return jnp.mean(jnp.sum(diff**2, axis=-1))
+        diff = jnp.roll(u, -k, axis=0) - u
+        sq = jnp.sum(diff * diff, axis=-1)  # (s, n)
+        valid = (jnp.arange(s) < s - k).astype(u.dtype)[:, None]
+        return jnp.sum(sq * valid) / (jnp.maximum(s - k, 1) * n)
 
-    # python loop over lags: S is static and small; each lag is one fused
-    # reduce (a lax.map would force equal-shape slices)
-    return jnp.stack([jnp.zeros(())] + [lag(k) for k in range(1, s)])
+    return jax.lax.map(lag, jnp.arange(s))
 
 
 def diffusion_coefficient(
