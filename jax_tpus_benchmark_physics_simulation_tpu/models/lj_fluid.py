@@ -164,12 +164,17 @@ def _make_grid_md(cfg: MDConfig):
             from jax_tpus_benchmark_physics_simulation_tpu.parallel.mesh import make_mesh
 
             return ShardedGridMD3(
-                gf, make_mesh(n_dev, axis_name="x"), static_cov="auto", **kw
+                gf, make_mesh(n_dev, axis_name="x"), static_cov="auto",
+                migrate_k_mov=8, **kw
             )
         # hybrid static-coverage kernels are the 3D production default:
         # straight-line windows at the estimated occupancy bound, dynamic
-        # fallback via one cond per rebuild period (grid_md3.GridMD3 docs)
-        return GridMD3(gf, static_cov="auto", **kw)
+        # fallback via one cond per rebuild period (grid_md3.GridMD3 docs).
+        # migrate_k_mov=8: halves the mover-compaction planes vs the
+        # engine's conservative 16 (probe5 F2: 152.8 vs 150.4M psps with
+        # the fixed-cadence driver); the mov_of flag stays loud if a cell
+        # ever exceeds 8 movers per rebuild.
+        return GridMD3(gf, static_cov="auto", migrate_k_mov=8, **kw)
     if n_dev > 1 and gf.cells_per_side % n_dev == 0:
         # auto-shard cell rows over all devices (halo-exchange engine)
         from jax_tpus_benchmark_physics_simulation_tpu.parallel.grid_md_sharded import (
@@ -362,11 +367,19 @@ def equilibrate(cfg: MDConfig, state: ParticleState):
     return get_state(carry), _carry_overflow(carry)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def production(cfg: MDConfig, state: ParticleState):
+@partial(jax.jit, static_argnums=(0, 2))
+def production(cfg: MDConfig, state: ParticleState, cadence: Optional[int] = None):
     """Device-fused production with trajectory sampling
     (reference: molecular_dynamics...:85-106). Additionally samples kinetic /
     potential energy for the drift regression the reference never had.
+
+    ``cadence``: fixed rebuild cadence for the 3D grid engine's NVE
+    fast path (make_production_run_fixed — zero gate machinery; probe5:
+    152.8M vs the gated driver's 141.5M psps at N=100k). Callers obtain it
+    from ``auto_cadence`` on the MEASURED equilibrated temperature
+    (:func:`run` does); ``None`` keeps the displacement-gated driver.
+    Safety demotes to the window's skin/2 violation flag — loud, never
+    silent.
 
     Returns ``(final_state, (r_history, ke_history, pe_history), overflow)``.
     """
@@ -383,10 +396,18 @@ def production(cfg: MDConfig, state: ParticleState):
         gs = md.prepare(
             md.init(state.position, state.velocity, seed=_grid_seed(cfg))
         )
-        # cond-free production driver between samples (cond_rebuild_probe)
-        prod_block = md.make_production_run(
-            cfg.sample_every, k, gate_frac=gate, thermostat=thermo
+        use_fixed = (
+            cadence is not None
+            and thermo is None
+            and hasattr(md, "make_production_run_fixed")
         )
+        if use_fixed:
+            prod_block = md.make_production_run_fixed(cfg.sample_every, cadence)
+        else:
+            # cond-free gated production driver (cond_rebuild_probe)
+            prod_block = md.make_production_run(
+                cfg.sample_every, k, gate_frac=gate, thermostat=thermo
+            )
 
         def sample_block(g, _):
             g = prod_block(g)
@@ -397,7 +418,9 @@ def production(cfg: MDConfig, state: ParticleState):
             sample_block, gs, length=n_samples
         )
         rem = cfg.prod_steps - n_samples * cfg.sample_every
-        if rem:
+        if rem and use_fixed:
+            gs = md.make_production_run_fixed(rem, cadence)(gs)
+        elif rem:
             # the tail can exceed the window budget k — run it in k-sized
             # windows (a window longer than k would erode the skin margin)
             n2, r2 = divmod(rem, k)
@@ -520,22 +543,16 @@ def run(
         if progress is not None:
             progress.update(task, total=1, completed=1)
 
-    # AOT-compile the two phase programs OUTSIDE the physics timers: over
-    # the remote-TPU tunnel a cold compile is ~30 s and even a persistent-
-    # cache HIT costs ~15-20 s of executable load per program (round-5
-    # measurement) — folding that into time_eq/time_prod made a 7.4 s
-    # production phase report as 34-95 s. The compile/load cost is real and
-    # is reported separately (MDResult.time_compile_s); the phase timings
-    # measure the physics the way every probe in results/ does.
-    t0 = time.perf_counter()
-    task = phase("compile (equilibration + production)")
-    eq_exe = equilibrate.lower(cfg, state).compile()
-    prod_exe = production.lower(cfg, state).compile()
-    time_compile = time.perf_counter() - t0
-    phase_done(task)
-
-    t0 = time.perf_counter()
-    task = phase(f"equilibration ({cfg.eq_steps:,} steps)")
+    # AOT-compile AND warm each phase program OUTSIDE the physics timers:
+    # over the remote-TPU tunnel a cold compile is ~30 s, a persistent-cache
+    # HIT still costs ~15-30 s of executable load, and part of that load is
+    # paid lazily at the FIRST execution (measured: the cost moves between
+    # the compile call and the first run, their sum ~conserved) — folding
+    # it into time_eq/time_prod made a 7.4 s production phase report as
+    # 34-95 s. So each executable is run once on a throwaway input and
+    # discarded before its timer starts; the compile+load+warm-up cost is
+    # real and reported separately (MDResult.time_compile_s). Phase timings
+    # then measure the physics the way every probe in results/ does.
     state_eq = None
     overflow_eq = False
     if ckpt_dir is not None:
@@ -546,7 +563,20 @@ def run(
 
         if latest_step(ckpt_dir) is not None:
             state_eq = restore_checkpoint(ckpt_dir, state)
+
+    time_compile = 0.0
     if state_eq is None:
+        t0 = time.perf_counter()
+        task = phase("compile + warm (equilibration)")
+        eq_exe = equilibrate.lower(cfg, state).compile()
+        warm = eq_exe(state)
+        _ = float(warm[0].position[0, 0])  # absorb lazy executable load
+        del warm
+        time_compile += time.perf_counter() - t0
+        phase_done(task)
+
+        t0 = time.perf_counter()
+        task = phase(f"equilibration ({cfg.eq_steps:,} steps)")
         state_eq, overflow_eq = eq_exe(state)
         _ = float(state_eq.position[0, 0])  # hard sync (see CLAUDE.md)
         overflow_eq = bool(overflow_eq)
@@ -554,7 +584,31 @@ def run(
             from jax_tpus_benchmark_physics_simulation_tpu.ckpt import save_checkpoint
 
             save_checkpoint(ckpt_dir, cfg.eq_steps, state_eq)
-    time_eq = time.perf_counter() - t0
+        time_eq = time.perf_counter() - t0
+        phase_done(task)
+    else:
+        time_eq = 0.0
+
+    # Rebuild cadence for the 3D grid NVE fast path, from the MEASURED
+    # equilibrated temperature (auto_cadence's drift-rate fit is in kT; the
+    # config's kt is a target the NVE melt need not land on exactly).
+    cadence = None
+    if cfg.dim == 3 and cfg.thermostat in ("none", None) and resolve_impl(cfg) == "grid":
+        import numpy as _np
+
+        v = _np.asarray(state_eq.velocity)
+        kt_eq = float(_np.mean(v * v))  # mean over N*dim of v^2 = kT/m
+        md_c = _make_grid_md(cfg)
+        if hasattr(md_c, "auto_cadence"):
+            cadence = max(1, min(md_c.auto_cadence(kt_eq), cfg.sample_every))
+
+    t0 = time.perf_counter()
+    task = phase("compile + warm (production)")
+    prod_exe = production.lower(cfg, state_eq, cadence).compile()
+    warm = prod_exe(state_eq)
+    _ = float(warm[1][1][-1])  # absorb lazy executable load
+    del warm
+    time_compile += time.perf_counter() - t0
     phase_done(task)
 
     t0 = time.perf_counter()

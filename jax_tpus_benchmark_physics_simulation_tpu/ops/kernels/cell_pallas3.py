@@ -668,6 +668,20 @@ def make_grid_force_kernel3(
         out_specs = [self_blk] * 3 + [n_blk] * 3
         if with_energy:
             out_specs += [self_blk, n_blk, self_blk, n_blk]
+        # the chunk loop holds ~(42 partner arrays + one chunk's pair
+        # temps): ~16 MB at the N=100k scale — above Mosaic's 16 MB
+        # default scoped limit, far under the chip's 128 MB VMEM. The
+        # STRAIGHT-LINE kernel's scoped stack additionally scales with the
+        # lane width (measured 84.57M at lanes=1792/cov=24, nearly chunk-
+        # independent — the unrolled pair temporaries' live ranges); wide-
+        # lane static builds request 88M — enough for the measured need,
+        # small enough that the program's window allocations still fit the
+        # 128M chip VMEM (a 100M request over-reserved and the whole
+        # program OOMed). GridMD3 auto-disables static mode past
+        # lanes=1792 where the scaling outgrows even this.
+        vmem_limit = 64 * 1024 * 1024
+        if static_cov is not None and lanes > 1024:
+            vmem_limit = 88 * 1024 * 1024
         return pl.pallas_call(
             kernel,
             grid=(rows,),
@@ -676,10 +690,7 @@ def make_grid_force_kernel3(
             out_shape=[out_struct] * n_out,
             interpret=interpret,
             cost_estimate=cost,
-            # the chunk loop holds ~(42 partner arrays + one chunk's pair
-            # temps): ~16 MB at the N=100k scale — above Mosaic's 16 MB
-            # default scoped limit, far under the chip's 128 MB VMEM
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         )
 
     fused_call = build(row_wrap=True, shifted=True)

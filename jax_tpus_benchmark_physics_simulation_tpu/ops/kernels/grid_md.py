@@ -769,6 +769,54 @@ class GridMD:
 
         return run
 
+    def make_production_run_fixed(self, n_steps: int, cadence: int, thermostat=None):
+        """Fixed-cadence production driver, 2D port of
+        grid_md3.GridMD3.make_production_run_fixed (see there for the
+        measured rationale): a single fori_loop of ``rebuild ->
+        cadence-step window`` blocks — zero gate evaluation and zero
+        dynamic-while machinery. NVE-only; safety demotes to the window's
+        skin/2 violation flag (loud, never silent). Use :meth:`auto_cadence`
+        on the MEASURED equilibrated kT and only on equilibrated states.
+        ``n_steps % cadence`` trailing steps run as one remainder block."""
+        assert cadence >= 1, cadence
+        assert thermostat is None, (
+            "fixed-cadence driver is NVE-only; Langevin runs use the gated "
+            "drivers where the per-window RNG fold is already paid"
+        )
+        window = self._window_builder(cadence)
+        nb, rem = divmod(n_steps, cadence)
+        if rem:
+            tail = self._window_builder(rem)
+
+        def run(s: GridMDState) -> GridMDState:
+            def body(i, t):
+                return window(self._rebuild_migrate(t))
+
+            s = jax.lax.fori_loop(0, nb, body, s)
+            if rem:
+                s = tail(self._rebuild_migrate(s))
+            return s
+
+        return run
+
+    def auto_cadence(self, kt: float = 1.0) -> int:
+        """Rebuild cadence for :meth:`make_production_run_fixed`: 0.84x the
+        skin/2 violation horizon at the equilibrated max-over-N drift rate
+        5.5*sqrt(kT)*dt — the 3D-measured constant (results/
+        static_cov_probe3/4.py, fit at N=100k-1M); the max-over-N statistic
+        is dimension-insensitive to first order (it is set by the Maxwell
+        tail of |v| samples, and the 2D probe run confirms the cadence
+        stays violation-clean — results/md2_fixed_probe5.py). Beyond the
+        fitted N range the rate is scaled by sqrt(log N / log 1e6)
+        (extreme-value growth; see the 3D twin)."""
+        rate = 5.5 * kt**0.5 * self.dt
+        if self.n > 1_000_000:
+            import math
+
+            rate *= (math.log(self.n) / math.log(1_000_000.0)) ** 0.5
+        horizon = 0.5 * self.skin / rate
+        return max(1, int(0.84 * horizon))
+
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized TOGETHER: the highest rebuild gate
         whose remaining window budget still fits >= 1 step at the 8-sigma

@@ -134,18 +134,31 @@ class GridMD3:
         # static_fallback overrides the mode pairing (int + fallback=True
         # is the test hook for exercising the dynamic branch).
         if static_cov == "auto":
-            m = self.n / float(self.cps**3)
-            est = int(np.ceil(m + 2.0 * np.sqrt(max(m, 1.0))))
-            static_cov = min(self.cap, _round_up(max(est, 8), 8))
-            if static_fallback is None:
-                static_fallback = True
+            if self.lanes > 1024:
+                # wide-lane geometries: the straight-line kernel's scoped
+                # VMEM scales with lanes (~85M at lanes=1792, needing an
+                # 88M limit against the 128M chip VMEM) AND it measures
+                # SLOWER than the dynamic kernel there (N=1M cps41: hybrid
+                # fixed R=10 122.8M vs dynamic fixed R=10 126.8M psps —
+                # results/RESULTS.md round 5). "auto" keeps the dynamic
+                # kernel past lanes=1024; explicit int static_cov still
+                # builds the static kernel at any lane width that compiles.
+                static_cov = None
+            else:
+                m = self.n / float(self.cps**3)
+                est = int(np.ceil(m + 2.0 * np.sqrt(max(m, 1.0))))
+                static_cov = min(self.cap, _round_up(max(est, 8), 8))
+                if static_fallback is None:
+                    static_fallback = True
         self.static_cov = static_cov
         self._static_fallback = bool(static_fallback) and static_cov is not None
         if self._static_fallback:
             # hybrid: dynamic kernels are the baseline (+ energy/virial
             # path), the static pair is the fast window; static chunks
             # default to (cov, cov) — measured best for the straight-line
-            # kernel (results/static_cov_probe.py)
+            # kernel at N=100k geometry (results/static_cov_probe.py) —
+            # shrunk by the scoped-VMEM rule below at wide-lane geometries
+            a_s, b_s = self.static_chunks()
             self.force_kernel = make_grid_force_kernel3(
                 grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
                 a_chunk=a_chunk, b_chunk=b_chunk,
@@ -156,7 +169,7 @@ class GridMD3:
             )
             self.force_kernel_static = make_grid_force_kernel3(
                 grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
-                a_chunk=static_cov, b_chunk=static_cov, static_cov=static_cov,
+                a_chunk=a_s, b_chunk=b_s, static_cov=static_cov,
             )
         else:
             self.force_kernel = make_grid_force_kernel3(
@@ -169,6 +182,23 @@ class GridMD3:
                 static_cov=static_cov,
             )
             self.force_kernel_static = None
+
+    def static_chunks(self) -> Tuple[int, int]:
+        """(a_chunk, b_chunk) for the static-coverage kernel, scoped-VMEM
+        aware. (cov, cov) measured best at the N=100k geometry (lanes 384,
+        results/static_cov_probe.py) but the kernel's scoped VMEM scales
+        ~ a*b*lanes: at N=1M auto geometry (cps41 -> lanes 1792) the
+        (24,24) variant needs 84.57M against the 64M limit the kernel
+        requests — a hard Mosaic compile error (round-5 probe). Calibrated
+        from that failure: ~82 B per a*b*lane unit; chunks shrink to fit a
+        60M budget. Legal chunk values divide cov and are 8-multiples, so
+        the fallback ladder is (cov,cov) -> (cov,8) -> (8,8)."""
+        cov = self.static_cov
+        budget = 60e6 / 82.0
+        for a_s, b_s in ((cov, cov), (cov, 8), (8, 8)):
+            if a_s * b_s * self.lanes <= budget:
+                return a_s, b_s
+        return 8, 8
 
     # -- layout helpers ------------------------------------------------------
     def _slot3(self, position: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -158,6 +158,7 @@ class ShardedGridMD3(GridMD3):
         compensated: bool = False,
         static_cov=None,
         static_fallback: Optional[bool] = None,
+        migrate_k_mov: int = 16,
     ):
         super().__init__(
             grid_fn,
@@ -168,6 +169,7 @@ class ShardedGridMD3(GridMD3):
             compensated=compensated,
             static_cov=static_cov,
             static_fallback=static_fallback,
+            migrate_k_mov=migrate_k_mov,
         )
         self.mesh = mesh
         self.axis_name = axis_name
@@ -182,21 +184,24 @@ class ShardedGridMD3(GridMD3):
         # rebuild paths); hybrid mode keeps the dynamic local kernel here
         # and adds the static one below for the fast window branch.
         pure_cov = None if self._static_fallback else self.static_cov
+        chunkkw = {}
+        if pure_cov:
+            a_s, b_s = self.static_chunks()  # scoped-VMEM-aware (grid_md3)
+            chunkkw = dict(a_chunk=a_s, b_chunk=b_s)
         self._local_force = make_grid_force_kernel3(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
-            n_rows=self.rows_local, static_cov=pure_cov,
-            **(dict(a_chunk=pure_cov, b_chunk=pure_cov) if pure_cov else {}),
+            n_rows=self.rows_local, static_cov=pure_cov, **chunkkw,
         ).raw
         self._local_energy = make_grid_force_kernel3(
             grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
             n_rows=self.rows_local, with_energy=True,
         ).raw
         if self._static_fallback:
-            cov = self.static_cov
+            a_s, b_s = self.static_chunks()  # scoped-VMEM-aware (grid_md3)
             self._local_force_static = make_grid_force_kernel3(
                 grid_fn, sigma=sigma, epsilon=epsilon, interpret=interpret,
-                n_rows=self.rows_local, static_cov=cov,
-                a_chunk=cov, b_chunk=cov,
+                n_rows=self.rows_local, static_cov=self.static_cov,
+                a_chunk=a_s, b_chunk=b_s,
             ).raw
         else:
             self._local_force_static = None
