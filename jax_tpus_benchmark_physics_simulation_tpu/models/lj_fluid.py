@@ -600,7 +600,10 @@ def run(
         kt_eq = float(_np.mean(v * v))  # mean over N*dim of v^2 = kT/m
         md_c = _make_grid_md(cfg)
         if hasattr(md_c, "auto_cadence"):
-            cadence = max(1, min(md_c.auto_cadence(kt_eq), cfg.sample_every))
+            cadence = max(
+                1,
+                min(md_c.auto_cadence(kt_eq, cfg.prod_steps), cfg.sample_every),
+            )
 
     t0 = time.perf_counter()
     task = phase("compile + warm (production)")

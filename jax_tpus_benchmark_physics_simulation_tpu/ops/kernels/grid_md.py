@@ -799,23 +799,18 @@ class GridMD:
 
         return run
 
-    def auto_cadence(self, kt: float = 1.0) -> int:
-        """Rebuild cadence for :meth:`make_production_run_fixed`: 0.84x the
-        skin/2 violation horizon at the equilibrated max-over-N drift rate
-        5.5*sqrt(kT)*dt — the 3D-measured constant (results/
-        static_cov_probe3/4.py, fit at N=100k-1M); the max-over-N statistic
-        is dimension-insensitive to first order (it is set by the Maxwell
-        tail of |v| samples, and the 2D probe run confirms the cadence
-        stays violation-clean — results/md2_fixed_probe5.py). Beyond the
-        fitted N range the rate is scaled by sqrt(log N / log 1e6)
-        (extreme-value growth; see the 3D twin)."""
-        rate = 5.5 * kt**0.5 * self.dt
-        if self.n > 1_000_000:
-            import math
+    def auto_cadence(self, kt: float = 1.0, n_steps: int = 100_000) -> int:
+        """Rebuild cadence for :meth:`make_production_run_fixed` — Gaussian
+        extreme-value sizing over the whole run; see
+        grid_md3.GridMD3.auto_cadence for the derivation and the long-run
+        validation. (The fixed driver is non-default in 2D: the gated
+        driver measured faster, 600.8 vs 587.4M psps at N=100k —
+        results/md2_fixed_probe5.py.)"""
+        import math
 
-            rate *= (math.log(self.n) / math.log(1_000_000.0)) ** 0.5
-        horizon = 0.5 * self.skin / rate
-        return max(1, int(0.84 * horizon))
+        samples = max(float(self.n) * max(n_steps, 1), math.e)
+        vmax = math.sqrt(2.0 * math.log(samples)) * kt**0.5
+        return max(1, int(0.93 * 0.5 * self.skin / (vmax * self.dt)))
 
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized TOGETHER: the highest rebuild gate

@@ -867,26 +867,26 @@ class GridMD3:
 
         return run
 
-    def auto_cadence(self, kt: float = 1.0) -> int:
-        """Rebuild cadence for :meth:`make_production_run_fixed`: 0.84x the
-        skin/2 violation horizon at the measured equilibrated max-drift rate
-        (max-over-N displacement grows ~5.5*sqrt(kT)*dt per step at N=100k-1M,
-        results/static_cov_probe3/4.py — the horizon was 11.9 steps at skin
-        0.1316 and R=12 tripped the flag, R<=11 stayed clean; 0.84x lands
-        R=10 there, a 19% margin for window-to-window max-drift
-        fluctuation over long runs).
+    def auto_cadence(self, kt: float = 1.0, n_steps: int = 100_000) -> int:
+        """Rebuild cadence for :meth:`make_production_run_fixed`, sized by
+        Gaussian extreme-value statistics over the WHOLE RUN: the fastest
+        displacement between rebuilds is ~ballistic, ``R * |v| * dt``, and
+        the max of ``N * n_steps`` one-axis speed samples is
+        ``sqrt(2 ln(N n_steps)) * sqrt(kT)`` — the cadence keeps that
+        excursion under ``0.5 * skin`` with a 7% buffer.
 
-        The 5.5 constant was FIT at N=100k-1M. The max-over-N drift grows
-        like extreme-value statistics ~sqrt(log N), so beyond the fitted
-        range the rate is scaled by sqrt(log N / log 1e6) — at N=1e7 this
-        shortens the cadence ~8% instead of letting the 19% margin erode.
-        If the skin/2 flag still trips (it is loud, never silent), fall
-        back to the gated driver (:meth:`make_production_run`)."""
-        rate = 5.5 * kt**0.5 * self.dt
-        if self.n > 1_000_000:
-            rate *= (math.log(self.n) / math.log(1_000_000.0)) ** 0.5
-        horizon = 0.5 * self.skin / rate
-        return max(1, int(0.84 * horizon))
+        The run-length term is what the round-4 fixed-rate fit (5.5 *
+        sqrt(kT) * dt, 0.84x margin -> R=10 at N=100k) was missing: R=10
+        stayed clean over the 440-step probes (this formula also returns
+        10 there) but tripped the skin/2 flag at ~150k steps with EITHER
+        k_mov (round-5 long-run diagnosis); at n_steps=100k-1M it returns
+        9, validated clean over the 1M-step drift run
+        (results/drift_r5_probe.py). Pass the actual production length;
+        the log makes the result insensitive to it. If the flag still
+        trips (loud, never silent), fall back to the gated driver."""
+        samples = max(float(self.n) * max(n_steps, 1), math.e)
+        vmax = math.sqrt(2.0 * math.log(samples)) * kt**0.5
+        return max(1, int(0.93 * 0.5 * self.skin / (vmax * self.dt)))
 
     def auto_chunk_params(self, kt: float = 1.0) -> Tuple[int, float]:
         """``(n_inner, gate_frac)`` sized together — see

@@ -21,7 +21,7 @@ import numpy as np
 
 def _imageio():
     try:
-        imageio = _imageio()
+        import imageio.v2 as imageio
     except ImportError as e:  # pragma: no cover - environment-dependent
         raise ImportError(
             "GIF output requires imageio; install the extra: "

@@ -90,10 +90,18 @@ def equilibrate_rescaled(md, gs, dim, kt=1.0, bursts=4, burst_steps=800):
     return gs
 
 
-def drift_run(md, gs, total_steps, block, label):
-    k, gate = md.auto_chunk_params(kt=1.0)
-    nblk = block - (block % k)
-    prod = md.make_production_run(nblk, k, gate_frac=gate)
+def drift_run(md, gs, total_steps, block, label, fixed_kt=None):
+    """fixed_kt: use the fixed-cadence driver at auto_cadence(fixed_kt) —
+    the shipped 3D NVE production configuration."""
+    if fixed_kt is not None:
+        R = md.auto_cadence(fixed_kt, total_steps)
+        print(f"  [{label}] fixed cadence R={R}", flush=True)
+        nblk = block - (block % R)
+        prod = md.make_production_run_fixed(nblk, R)
+    else:
+        k, gate = md.auto_chunk_params(kt=1.0)
+        nblk = block - (block % k)
+        prod = md.make_production_run(nblk, k, gate_frac=gate)
 
     @jax.jit
     def sample(s):
@@ -145,10 +153,13 @@ def main():
     cps = int(box3 / (cutoff + 0.1))
     skin3 = box3 / cps - cutoff  # auto-geometry default (lj_fluid.resolve_skin)
     gf3 = make_cell_grid_fn(box3, cutoff, n, dim=3, rho=rho, skin=skin3)
-    md3 = GridMD3(gf3, dt=dt, compensated=True, static_cov="auto")
+    md3 = GridMD3(gf3, dt=dt, compensated=True, static_cov="auto", migrate_k_mov=8)
     pos, vel = lattice(n, box3, jax.random.PRNGKey(0), dim=3, kt=kt)
     gs3 = equilibrate_rescaled(md3, md3.init(pos, vel), dim=3, kt=kt)
-    d3 = drift_run(md3, gs3, steps3d, block=10_000, label="3D N=100k")
+    kt3 = float(md3.kinetic_energy(gs3)) / (1.5 * n)
+    d3 = drift_run(
+        md3, gs3, steps3d, block=10_000, label="3D N=100k", fixed_kt=kt3
+    )
 
     print(
         f"\nSUMMARY: 2D {steps2d:,}-step drift {d2:.3e}  |  "

@@ -1,5 +1,9 @@
 """Cell-dense (roll-based) force path vs the dense cutoff oracle."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

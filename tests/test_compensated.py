@@ -1,6 +1,10 @@
 """Kahan-compensated grid-MD integration: parity with plain mode at short
 times, strictly better energy conservation at long times."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,12 +45,17 @@ def test_energy_conservation_compensated():
     win shows at 1M-step horizons — results/RESULTS.md. Here we assert the
     compensated path is correct and tight.)"""
     md, gs = setup(True, dt=2e-3, kt=1.0)
-    chunk = md.make_chunk_step(10)
+    # window sized by the engine's own 8-sigma rule (auto_inner_steps at
+    # dt=2e-3 -> k=6; the former k=10 exceeded the documented margin —
+    # drift budget 0.16 vs 0.1 — and tripped the violation flag
+    # intermittently, a marginal config that predates round 5)
+    k = md.auto_inner_steps(kt=1.0)
+    chunk = md.make_chunk_step(k)
     e0 = float(md.kinetic_energy(gs) + md.potential_energy(gs))
 
     @jax.jit
     def run(s):
-        return jax.lax.fori_loop(0, 500, lambda i, t: chunk(t), s)
+        return jax.lax.fori_loop(0, 5000 // k, lambda i, t: chunk(t), s)
 
     gs = run(gs)  # 5000 steps
     e1 = float(md.kinetic_energy(gs) + md.potential_energy(gs))

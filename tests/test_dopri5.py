@@ -1,6 +1,10 @@
 """Adaptive Dopri5 tests: accuracy vs tolerance, step adaptation, N-body
 integration parity with fine-step RK4."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,10 @@
 (E_0 = D/2, alpha = 0.5 — the reference's physics oracle, vmc_dmc...:173-175,
 printed there, asserted here)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """End-to-end tests for the N-body merger workload: Kepler two-body oracle,
 reference parity of RK4 scan + GW strain, Lyapunov methods."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Neighbor-list correctness: forces/energies must match the dense cutoff
 oracle exactly (same pairs), rebuild logic, overflow detection, small boxes."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

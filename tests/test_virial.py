@@ -6,6 +6,10 @@ The reference computes no pressure at all. Oracle: a direct O(N^2)
 minimum-image sum in f64.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np
