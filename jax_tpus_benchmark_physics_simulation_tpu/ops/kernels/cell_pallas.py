@@ -156,8 +156,16 @@ def _newton_kernel(
         if sigma2 != 1.0:
             inv = sigma2 * inv
         s6 = inv * inv * inv
-        s12 = s6 * s6
-        fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
+        if with_energy:
+            s12 = s6 * s6
+            fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
+        else:
+            # Horner factoring (ported from the 3D static kernel): with
+            # t = s6*inv, fmag = t * fma(2*fscale, s6, -fscale) — one VPU
+            # mul fewer per pair than (2*s12 - s6)*inv*fscale; the energy
+            # path keeps the s12 form (it needs s12 anyway)
+            t = s6 * inv
+            fmag = jnp.where(valid, t * (2.0 * fscale * s6 - fscale), 0.0)
         fxb = (fmag * dx).reshape(shape3)
         fyb = (fmag * dyy).reshape(shape3)
         out = [

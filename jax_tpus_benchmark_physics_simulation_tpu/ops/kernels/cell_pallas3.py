@@ -244,8 +244,14 @@ def _newton_kernel3(
                 if sigma2 != 1.0:
                     inv = sigma2 * inv
                 s6 = inv * inv * inv
-                s12 = s6 * s6
-                fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
+                if with_energy:
+                    s12 = s6 * s6
+                    fmag = jnp.where(valid, (2.0 * s12 - s6) * inv, 0.0) * fscale
+                else:
+                    # Horner factoring (as in _static_kernel3): one VPU mul
+                    # fewer per pair; the energy path needs s12 anyway
+                    t = s6 * inv
+                    fmag = jnp.where(valid, t * (2.0 * fscale * s6 - fscale), 0.0)
                 fxb = (fmag * dx).reshape(sh3)
                 fyb = (fmag * dyy).reshape(sh3)
                 fzb = (fmag * dzz).reshape(sh3)
